@@ -1,0 +1,102 @@
+"""Default configuration schema.
+
+Mirrors the reference's option surface (/root/reference/src/lib/config/default.py:1-89)
+so that users of the reference find every knob, while adding TPU-specific options
+(mesh axes, bf16 policy, prefetch depth) that replace CUDA/Lightning settings.
+"""
+
+from .node import ConfigNode
+
+
+def default_config() -> ConfigNode:
+    c = ConfigNode()
+    c.NAME = "CenterFusion"
+    c.OUTPUT_DIR = "output"
+
+    c.GPUS = (0,)  # kept for config-file compatibility; ignored (devices come from JAX)
+    c.WORKERS = 2
+    c.DEBUG = 0
+    c.EVAL = False
+    c.RANDOM_SEED = 0
+    c.MIXED_PRECISION = True  # bfloat16 activations/compute on TPU
+    c.CONF_THRESH = 0.3
+    c.WANDB_RESUME = False
+    c.WANDB_RESUBMIT = False
+
+    c.DATASET = ConfigNode()
+    c.DATASET.DATASET = "nuscenes"
+    c.DATASET.ROOT = "data/"
+    c.DATASET.RANDOM_CROP = False
+    c.DATASET.MAX_CROP = True
+    c.DATASET.SHIFT = 0.2
+    c.DATASET.SCALE = 0.0
+    c.DATASET.ROTATE = 0.0
+    c.DATASET.FLIP = 0.5
+    c.DATASET.COLOR_AUG = True
+    c.DATASET.TRAIN_SPLIT = "train"
+    c.DATASET.VAL_SPLIT = "mini_val"
+    c.DATASET.RADAR_PC = True
+    c.DATASET.MAX_PC = 1000
+    c.DATASET.MAX_PC_DIST = 60.0
+    c.DATASET.PC_Z_OFFSET = 0.0
+    c.DATASET.PC_ROI_METHOD = "pillars"  # pillars | heatmap | points
+    c.DATASET.PILLAR_DIMS = (1.5, 0.2, 0.2)
+    c.DATASET.ONE_HOT_PC = False
+    c.DATASET.DECOUPLE_REP = False
+    c.DATASET.HEATMAP_REP = "2d"  # 2d | 3d
+
+    c.MODEL = ConfigNode()
+    c.MODEL.LOAD_DIR = ""
+    c.MODEL.ARCH = "dla_34"
+    c.MODEL.FREEZE_BACKBONE = False
+    c.MODEL.NORM_EVAL = False
+    c.MODEL.NORM_2D = False
+    c.MODEL.DEFREEZE = -1
+    c.MODEL.FUSION_STRATEGY = "middle"  # early | middle | None
+    c.MODEL.FRUSTUM = True
+    c.MODEL.K = 100
+    c.MODEL.INPUT_SIZE = (448, 800)
+    c.MODEL.DLA = ConfigNode()
+    c.MODEL.DLA.NODE = "DeformConv"  # DeformConv | GlobalConv | Conv
+
+    c.LOSS_WEIGHTS = ConfigNode()
+    c.LOSS_WEIGHTS.HEATMAP = 1.0
+    c.LOSS_WEIGHTS.AMODAL_OFFSET = 1.0
+    c.LOSS_WEIGHTS.DIMENSION_2D = 0.1
+    c.LOSS_WEIGHTS.DEPTH = 1.0
+    c.LOSS_WEIGHTS.DIMENSION_3D = 1.0
+    c.LOSS_WEIGHTS.ROTATION = 1.0
+    c.LOSS_WEIGHTS.NUSCENES_ATT = 1.0
+    c.LOSS_WEIGHTS.VELOCITY = 1.0
+    c.LOSS_WEIGHTS.BBOX_2D = 0.0
+    c.LOSS_WEIGHTS.BBOX_3D = 0.0
+    c.LOSS_WEIGHTS.LIDAR_DEPTH = 0.0
+    c.LOSS_WEIGHTS.RADAR_DEPTH = 0.0
+
+    c.TRAIN = ConfigNode()
+    c.TRAIN.BATCH_SIZE = 26
+    c.TRAIN.SHUFFLE = True
+    c.TRAIN.EPOCHS = 60
+    c.TRAIN.WARM_EPOCHS = 5
+    c.TRAIN.RESUME = False
+    c.TRAIN.OPTIMIZER = "adam"
+    c.TRAIN.LR = 2.5e-4
+    c.TRAIN.LR_STEP = (50,)
+    c.TRAIN.SAVE_INTERVALS = 10
+    c.TRAIN.VAL_INTERVALS = 10
+    c.TRAIN.SCALE_FACTOR = 16
+    c.TRAIN.LR_SCHEDULER = "StepLR"  # CLR | StepLR
+    c.TRAIN.UNCERTAINTY_LOSS = False
+
+    c.TEST = ConfigNode()
+    c.TEST.BATCH_SIZE = 1
+    c.TEST.OFFICIAL_EVAL = False
+    c.TEST.FLIP_TEST = False  # fused flip-averaging TTA (extension over reference)
+
+    # --- TPU-native runtime options (replace GPUS/DDP/CUDNN sections) -------
+    c.TPU = ConfigNode()
+    c.TPU.MESH_DATA = -1  # -1: all available devices on the data axis
+    c.TPU.MESH_MODEL = 1
+    c.TPU.PREFETCH = 2  # host->device prefetch depth
+    c.TPU.DONATE = True
+    return c
