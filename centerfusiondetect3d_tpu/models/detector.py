@@ -1,0 +1,151 @@
+"""The flagship model: DLA-34 + DLAUp/IDAUp + CenterFusion heads.
+
+Re-design of the reference composition DLASeg/BaseModel
+(/root/reference/src/lib/model/networks/dla.py:571-635, base_model.py:30-106):
+backbone -> hierarchical upsampling to stride 4 -> first-stage CenterNet heads
+-> (middle fusion) frustum radar association -> secondary heads. One flax
+module, NHWC, bf16-capable, single jit-compiled forward for train and eval.
+"""
+
+from __future__ import annotations
+
+from typing import Any, Tuple
+
+import jax.numpy as jnp
+from flax import linen as nn
+
+from .dla import DLA, DLA34_CHANNELS
+from .upsample import DLAUp, IDAUp
+from .layers import NODE_TYPES
+from .heads import DetectHeadSet, SECONDARY_HEADS, resize_nearest
+from ..ops.frustum import get_pc_frustum_heatmap
+
+FIRST_LEVEL = 2  # log2(down_ratio=4)
+LAST_LEVEL = 5
+
+
+class CenterFusionDLA(nn.Module):
+    """DLA-34 CenterFusion detector.
+
+    Static fields mirror the derived config; ``heads``/``head_conv`` are
+    tuple-of-pairs so the module is hashable for jit.
+    """
+
+    heads: Tuple[Tuple[str, int], ...]
+    head_conv: Tuple[Tuple[str, Tuple[int, ...]], ...]
+    node: str = "DeformConv"
+    fusion_strategy: Any = "middle"  # 'early' | 'middle' | None
+    radar_pc: bool = True
+    frustum: bool = True
+    one_hot_pc: bool = False
+    max_pc_dist: float = 60.0
+    top_k: int = 100
+    dtype: Any = jnp.float32
+
+    def setup(self):
+        node_type = NODE_TYPES[self.node]
+        channels = DLA34_CHANNELS
+        self.base = DLA(dtype=self.dtype, name="base")
+        scales = [2 ** i for i in range(len(channels[FIRST_LEVEL:]))]
+        self.dla_up = DLAUp(
+            FIRST_LEVEL, channels[FIRST_LEVEL:], scales, node_type=node_type,
+            dtype=self.dtype, name="dla_up",
+        )
+        self.ida_up = IDAUp(
+            channels[FIRST_LEVEL],
+            channels[FIRST_LEVEL:LAST_LEVEL],
+            [2 ** i for i in range(LAST_LEVEL - FIRST_LEVEL)],
+            node_type=node_type,
+            dtype=self.dtype,
+            name="ida_up",
+        )
+        secondary = (
+            tuple(h for h, _ in self.heads if h in SECONDARY_HEADS)
+            if self.fusion_strategy == "middle"
+            else ()
+        )
+        self.head_set = DetectHeadSet(
+            heads=dict(self.heads),
+            head_conv={k: tuple(v) for k, v in self.head_conv},
+            secondary=secondary,
+            dtype=self.dtype,
+            name="detect_head_0",
+        )
+
+    @property
+    def pc_slice(self) -> int:
+        return int(self.max_pc_dist) if self.one_hot_pc else 1
+
+    def img2feats(self, x, train: bool = False):
+        feats = self.base(x, train=train)
+        pyramid = self.dla_up(feats, train=train)
+        y = list(pyramid[: LAST_LEVEL - FIRST_LEVEL])
+        y = self.ida_up(y, 0, len(y), train=train)
+        return y[-1]
+
+    def __call__(self, image, pc_hm=None, pc_dep=None, calib=None, train: bool = False):
+        """Forward pass.
+
+        Args:
+            image: (B, H, W, 3) normalized input.
+            pc_hm: (B, Ho, Wo, C_pc) radar heatmap (training: GT-frustum or
+                pre-normalized; eval non-frustum: ignored and recomputed).
+            pc_dep: (B, Ho, Wo, C_pc) raw radar depth map [d, vx, vz].
+            calib: (B, 3, 4).
+            train: enables BN batch stats updates.
+
+        Returns:
+            list with one per-pyramid-level dict of NHWC float32 outputs.
+        """
+        x = image.astype(self.dtype)
+
+        if self.radar_pc and not train and not (self.frustum and self.fusion_strategy == "middle"):
+            # eval-time radar normalization (base_model.py:67-79):
+            # depth channels -> 1 - d / max_dist
+            s = self.pc_slice
+            d = pc_dep[..., :s]
+            pc_hm = jnp.concatenate(
+                [1.0 - d / self.max_pc_dist, pc_dep[..., s:]], axis=-1
+            )
+
+        if self.radar_pc and self.fusion_strategy == "early":
+            pc_in = resize_nearest(pc_hm, x.shape[1:3]).astype(x.dtype)
+            x = jnp.concatenate([x, pc_in], axis=-1)
+
+        feats = self.img2feats(x, train=train)
+
+        y = self.head_set.first_stage(feats)
+        y["calib"] = calib
+
+        if self.radar_pc and self.fusion_strategy == "middle":
+            y["pc_hm_in"] = pc_dep[..., : self.pc_slice]
+            if not train and self.frustum:
+                # frustum association needs first-stage 2D boxes
+                pc_hm = get_pc_frustum_heatmap(
+                    y, pc_dep, calib, self.top_k, self.max_pc_dist
+                )
+            y["pc_hm"] = pc_hm[..., 0:1]
+            y.update(self.head_set.second_stage(feats, pc_hm))
+
+        return [y]
+
+
+def build_model(config, dtype=None) -> CenterFusionDLA:
+    """Model factory from a finalized config (model/model.py:18-44)."""
+    if dtype is None:
+        dtype = jnp.bfloat16 if config.MIXED_PRECISION else jnp.float32
+    arch = config.MODEL.ARCH
+    if not arch.startswith("dla"):
+        raise NotImplementedError(f"architecture {arch!r} not implemented")
+    return CenterFusionDLA(
+        heads=tuple((k, int(v)) for k, v in config.heads.items()),
+        head_conv=tuple((k, tuple(v)) for k, v in config.head_conv.items()),
+        node=config.MODEL.DLA.NODE,
+        fusion_strategy=config.MODEL.FUSION_STRATEGY,
+        radar_pc=config.DATASET.RADAR_PC,
+        frustum=config.MODEL.FRUSTUM,
+        one_hot_pc=bool(config.DATASET.ONE_HOT_PC),
+        max_pc_dist=float(config.DATASET.MAX_PC_DIST),
+        top_k=int(config.MODEL.K),
+        dtype=dtype,
+    )

@@ -1,0 +1,232 @@
+"""Shared flax building blocks: conv-BN-ReLU, aggregation node variants,
+depthwise bilinear upsampling.
+
+Re-designs the reference node zoo — Conv / GlobalConv / DeformConv and the
+ConvTranspose2d bilinear upsampler (/root/reference/src/lib/model/networks/
+dla.py:315-524, model/utils.py:90-109) — as NHWC flax modules. BatchNorm uses
+flax running stats (momentum 0.9 == torch momentum 0.1).
+"""
+
+from __future__ import annotations
+
+from typing import Any
+
+import jax.numpy as jnp
+import numpy as np
+from flax import linen as nn
+
+from ..ops.dcn import deform_conv2d
+
+BN_MOMENTUM = 0.9  # torch momentum 0.1
+
+
+class ConvBnAct(nn.Module):
+    """Conv -> BatchNorm -> optional ReLU."""
+
+    features: int
+    kernel_size: tuple = (3, 3)
+    strides: tuple = (1, 1)
+    dilation: int = 1
+    use_bias: bool = False
+    act: bool = True
+    dtype: Any = jnp.float32
+
+    @nn.compact
+    def __call__(self, x, train: bool = False):
+        d = self.dilation
+        pad = ((self.kernel_size[0] - 1) // 2 * d, (self.kernel_size[1] - 1) // 2 * d)
+        x = nn.Conv(
+            self.features,
+            self.kernel_size,
+            strides=self.strides,
+            padding=[(pad[0], pad[0]), (pad[1], pad[1])],
+            kernel_dilation=(d, d),
+            use_bias=self.use_bias,
+            dtype=self.dtype,
+            name="conv",
+        )(x)
+        x = nn.BatchNorm(
+            use_running_average=not train,
+            momentum=BN_MOMENTUM,
+            dtype=self.dtype,
+            name="bn",
+        )(x)
+        if self.act:
+            x = nn.relu(x)
+        return x
+
+
+class ConvNode(nn.Module):
+    """1x1 conv-BN-ReLU aggregation node (reference ``Conv``, dla.py:315-325)."""
+
+    features: int
+    activation: bool = True  # kept for node-factory signature parity
+    dtype: Any = jnp.float32
+
+    @nn.compact
+    def __call__(self, x, train: bool = False):
+        return ConvBnAct(
+            self.features, kernel_size=(1, 1), dtype=self.dtype, name="conv"
+        )(x, train)
+
+
+class GlobalConvNode(nn.Module):
+    """GCN-style separable kx1 + 1xk pair, summed (reference dla.py:328-382)."""
+
+    features: int
+    kernel_size: int = 7
+    dilation: int = 1
+    activation: bool = True
+    dtype: Any = jnp.float32
+
+    @nn.compact
+    def __call__(self, x, train: bool = False):
+        k, d = self.kernel_size, self.dilation
+        pad = d * (k // 2)
+
+        def conv(name, ks, padding, inp):
+            return nn.Conv(
+                self.features,
+                ks,
+                padding=padding,
+                kernel_dilation=(d, d),
+                use_bias=False,
+                dtype=self.dtype,
+                name=name,
+            )(inp)
+
+        left = conv("left1", (k, 1), [(pad, pad), (0, 0)], x)
+        left = conv("left2", (1, k), [(0, 0), (pad, pad)], left)
+        right = conv("right1", (1, k), [(0, 0), (pad, pad)], x)
+        right = conv("right2", (k, 1), [(pad, pad), (0, 0)], right)
+        x = left + right
+        x = nn.BatchNorm(
+            use_running_average=not train, momentum=BN_MOMENTUM, dtype=self.dtype, name="bn"
+        )(x)
+        return nn.relu(x)
+
+
+class DeformConvNode(nn.Module):
+    """DCNv2 node: zero-init offset/mask conv + deformable 3x3 + BN/ReLU.
+
+    Reference ``DeformConv`` (dla.py:385-472): the offset conv starts at zero
+    so the node begins as a plain conv; mask is sigmoided.
+    """
+
+    features: int
+    activation: bool = True
+    dtype: Any = jnp.float32
+
+    @nn.compact
+    def __call__(self, x, train: bool = False):
+        in_ch = x.shape[-1]
+        offset_mask = nn.Conv(
+            27,
+            (3, 3),
+            padding=1,
+            use_bias=True,
+            kernel_init=nn.initializers.zeros,
+            bias_init=nn.initializers.zeros,
+            dtype=self.dtype,
+            name="conv_offset_mask",
+        )(x)
+        offset_mask = offset_mask.astype(jnp.float32)
+        offset = offset_mask[..., :18]
+        mask = nn.sigmoid(offset_mask[..., 18:])
+
+        stdv = 1.0 / np.sqrt(in_ch * 9)
+
+        def weight_init(key, shape, dtype=jnp.float32):
+            import jax.random as jrandom
+
+            return jrandom.uniform(key, shape, dtype, -stdv, stdv)
+
+        weight = self.param("weight", weight_init, (3, 3, in_ch, self.features))
+        bias = self.param("bias", nn.initializers.zeros, (self.features,))
+        x = deform_conv2d(
+            x.astype(self.dtype), offset, mask,
+            weight.astype(self.dtype), bias.astype(self.dtype),
+        )
+        if self.activation:
+            x = nn.BatchNorm(
+                use_running_average=not train,
+                momentum=BN_MOMENTUM,
+                dtype=self.dtype,
+                name="bn",
+            )(x)
+            x = nn.relu(x)
+        return x
+
+
+NODE_TYPES = {
+    "DeformConv": (DeformConvNode, DeformConvNode),
+    "GlobalConv": (ConvNode, GlobalConvNode),
+    "Conv": (ConvNode, ConvNode),
+}
+
+
+def bilinear_kernel(factor: int) -> np.ndarray:
+    """Depthwise transposed-conv bilinear kernel of size 2f x 2f.
+
+    Matches the reference's initUpModuleWeights (model/utils.py:90-109).
+    """
+    size = 2 * factor
+    f = int(np.ceil(size / 2))
+    center = (2 * f - 1 - f % 2) / (2.0 * f)
+    og = np.arange(size)
+    k1d = 1 - np.abs(og / f - center)
+    return np.outer(k1d, k1d).astype(np.float32)
+
+
+class BilinearUp(nn.Module):
+    """Depthwise 2x/4x upsampling as a grouped transposed conv, bilinear init.
+
+    Kept as a learnable parameter for checkpoint parity with the reference's
+    ConvTranspose2d(groups=out_channels) (dla.py:502-512).
+    """
+
+    features: int
+    factor: int
+    dtype: Any = jnp.float32
+
+    @nn.compact
+    def __call__(self, x):
+        f = self.factor
+        size = 2 * f
+        init = bilinear_kernel(f)
+
+        def kernel_init(key, shape, dtype=jnp.float32):
+            # (size, size, 1, features): same bilinear kernel per channel
+            k = jnp.asarray(init)[..., None, None]
+            return jnp.broadcast_to(k, shape).astype(dtype)
+
+        kernel = self.param("kernel", kernel_init, (size, size, 1, self.features))
+        return _depthwise_conv_transpose(
+            x.astype(self.dtype), kernel.astype(self.dtype), f
+        )
+
+
+def _depthwise_conv_transpose(x, kernel, factor: int):
+    """Depthwise stride-f transposed conv with kernel 2f and padding f//2.
+
+    Implemented channel-grouped via lax.conv_general_dilated with lhs
+    dilation (the standard transposed-conv formulation).
+    """
+    import jax.lax as lax
+
+    size = 2 * factor
+    pad = factor // 2
+    # transposed conv: lhs_dilation=f, padding = size - 1 - pad on both sides
+    eff_pad = size - 1 - pad
+    c = x.shape[-1]
+    # kernel (size, size, 1, C) -> spatially flipped for transpose semantics
+    k = kernel[::-1, ::-1]
+    return lax.conv_general_dilated(
+        x,
+        k,
+        window_strides=(1, 1),
+        padding=[(eff_pad, eff_pad), (eff_pad, eff_pad)],
+        lhs_dilation=(factor, factor),
+        dimension_numbers=("NHWC", "HWIO", "NHWC"),
+        feature_group_count=c,
+    )

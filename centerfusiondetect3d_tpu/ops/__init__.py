@@ -1,0 +1,13 @@
+from .decode import heat_nms, topk_peaks, gather_feature, fusion_decode
+from .frustum import frustum_association, get_pc_frustum_heatmap
+from .postprocess import post_process
+
+__all__ = [
+    "heat_nms",
+    "topk_peaks",
+    "gather_feature",
+    "fusion_decode",
+    "frustum_association",
+    "get_pc_frustum_heatmap",
+    "post_process",
+]

@@ -1,0 +1,157 @@
+"""Vectorized frustum association (radar-camera fusion).
+
+TPU-native re-design of the reference's per-(batch, box) Python loop —
+``getPcFrustumHeatmap``/``cvtPcDepthToHeatmap``
+(/root/reference/src/lib/utils/pointcloud.py:331-481). Semantics:
+
+For each of the top-K predicted boxes (descending score), crop the radar depth
+map to the integer-expanded bbox, keep radar pixels whose depth lies inside the
+predicted frustum window ``(max(0, d - thr), d + thr)``, pick the *nearest*
+such pixel, and paint its ``[depth / max_dist, vel_x, vel_z]`` into a
+0.3-scaled rectangle at the bbox center. Later boxes overwrite earlier ones.
+
+Here the loop becomes fixed-shape masked tensor ops: (K, H, W) membership
+masks built from broadcasted iotas, a masked min for nearest-point selection,
+and a per-pixel "highest box index wins" argmax to reproduce the overwrite
+order — no host sync, fully jit/vmap-able. The asymmetric ``+1`` column quirk
+of the reference paint rectangle (pointcloud.py:478) is reproduced.
+
+Deviation (documented): boxes whose integer crop bounds go negative use
+clamped-to-zero crops rather than Python's negative-index wraparound slicing,
+which in the reference silently yields an empty crop.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+
+from .decode import topk_peaks, gather_feature
+from ..geometry.transforms3d import get_alpha, distance_thresh
+
+
+@functools.partial(jax.vmap, in_axes=(0, 0, 0, 0, None))
+def _associate_one(pc_dep, depth, bboxes, thresh, max_pc_dist):
+    """Single-image frustum association.
+
+    pc_dep: (H, W, 3) [depth, vel_x, vel_z]; depth: (K,); bboxes: (K, 4)
+    output-plane xyxy; thresh: (K,). Returns pc_hm (H, W, 3).
+    """
+    height, width = pc_dep.shape[:2]
+    k = bboxes.shape[0]
+    d_map = pc_dep[..., 0]
+
+    rows = jax.lax.broadcasted_iota(jnp.int32, (k, height), 1)
+    cols = jax.lax.broadcasted_iota(jnp.int32, (k, width), 1)
+
+    # integer crop bounds: floor(x1), floor(y1), ceil(x2), ceil(y2), inclusive
+    x1 = jnp.floor(bboxes[:, 0]).astype(jnp.int32)
+    y1 = jnp.floor(bboxes[:, 1]).astype(jnp.int32)
+    x2 = jnp.ceil(bboxes[:, 2]).astype(jnp.int32)
+    y2 = jnp.ceil(bboxes[:, 3]).astype(jnp.int32)
+    row_in = (rows >= jnp.maximum(y1, 0)[:, None]) & (rows <= y2[:, None])  # (K, H)
+    col_in = (cols >= jnp.maximum(x1, 0)[:, None]) & (cols <= x2[:, None])  # (K, W)
+    crop = row_in[:, :, None] & col_in[:, None, :]  # (K, H, W)
+
+    # frustum depth window over nonzero radar pixels
+    lo = jnp.maximum(0.0, depth - thresh)[:, None, None]
+    hi = (depth + thresh)[:, None, None]
+    valid = crop & (d_map > 0.0)[None] & (d_map[None] < hi) & (d_map[None] > lo)
+
+    masked_d = jnp.where(valid, d_map[None], jnp.inf)  # (K, H, W)
+    flat = masked_d.reshape(k, -1)
+    nearest_idx = jnp.argmin(flat, axis=1)  # (K,)
+    nearest_d = jnp.take_along_axis(flat, nearest_idx[:, None], axis=1)[:, 0]
+    matched = jnp.isfinite(nearest_d)
+
+    vel = pc_dep[..., 1:].reshape(-1, 2)  # (H*W, 2)
+    sel_vel = vel[nearest_idx]  # (K, 2)
+    values = jnp.stack(
+        [nearest_d / max_pc_dist, sel_vel[:, 0], sel_vel[:, 1]], axis=1
+    )  # (K, 3)
+    values = jnp.where(matched[:, None], values, 0.0)
+
+    # paint rectangle: 0.3-scaled box at the float bbox center, truncated to
+    # int (towards zero, matching python int()); note the asymmetric extra
+    # column (w_max + 1 inclusive) from the reference
+    cx = (bboxes[:, 0] + bboxes[:, 2]) / 2.0
+    cy = (bboxes[:, 1] + bboxes[:, 3]) / 2.0
+    w_int = 0.3 * (bboxes[:, 2] - bboxes[:, 0])
+    h_int = 0.3 * (bboxes[:, 3] - bboxes[:, 1])
+    w_min = jnp.trunc(cx - w_int / 2.0).astype(jnp.int32)
+    w_max = jnp.trunc(cx + w_int / 2.0).astype(jnp.int32)
+    h_min = jnp.trunc(cy - h_int / 2.0).astype(jnp.int32)
+    h_max = jnp.trunc(cy + h_int / 2.0).astype(jnp.int32)
+
+    prow = (rows >= jnp.maximum(h_min, 0)[:, None]) & (rows <= h_max[:, None])
+    pcol = (cols >= jnp.maximum(w_min, 0)[:, None]) & (cols <= (w_max + 1)[:, None])
+    paint = prow[:, :, None] & pcol[:, None, :] & matched[:, None, None]  # (K, H, W)
+
+    # overwrite order: the highest covering box index wins; prio values
+    # (k + 1) are distinct per box, so argmax picks exactly the largest k
+    prio = paint * (jax.lax.broadcasted_iota(jnp.int32, (k, 1, 1), 0) + 1)
+    winner = jnp.argmax(prio, axis=0)  # (H, W)
+    covered = jnp.any(paint, axis=0)  # (H, W)
+
+    painted = values[winner]  # (H, W, 3)
+    return jnp.where(covered[..., None], painted, 0.0)
+
+
+def frustum_association(pc_dep, depth, bboxes, thresh, max_pc_dist: float):
+    """Batched frustum association.
+
+    Args:
+        pc_dep: (B, H, W, 3) radar depth feature map [depth, vel_x, vel_z].
+        depth: (B, K) predicted depths.
+        bboxes: (B, K, 4) predicted boxes (output-plane xyxy).
+        thresh: (B, K) frustum window half-extents.
+        max_pc_dist: depth normalization constant.
+
+    Returns:
+        (B, H, W, 3) point-cloud heatmap [normalized depth, vel_x, vel_z].
+    """
+    return _associate_one(pc_dep, depth, bboxes, thresh, float(max_pc_dist))
+
+
+def get_pc_frustum_heatmap(output: dict, pc_dep, calib, k: int, max_pc_dist: float):
+    """Frustum heatmap from first-stage predictions (pointcloud.py:331-394).
+
+    Args:
+        output: first-stage head dict (NHWC): heatmap (pre-NMS), widthHeight,
+            depth (post sigmoid-depth), dimension, rotation.
+        pc_dep: (B, H, W, 3) radar depth map.
+        calib: (B, 3, 4).
+        k: top-K boxes.
+        max_pc_dist: depth normalization constant.
+    """
+    heat = output["heatmap"]
+    batch = heat.shape[0]
+    # NOTE: the reference applies top-k *without* NMS here (pointcloud.py:347)
+    _, inds, _, ys, xs = topk_peaks(heat, k)
+    xs = xs.astype(jnp.float32) + 0.5
+    ys = ys.astype(jnp.float32) + 0.5
+
+    depth = gather_feature(output["depth"], inds)[..., 0]  # (B, K)
+    wh = jnp.maximum(gather_feature(output["widthHeight"], inds), 0.0)  # (B, K, 2)
+    bboxes = jnp.stack(
+        [
+            xs - wh[..., 0] / 2,
+            ys - wh[..., 1] / 2,
+            xs + wh[..., 0] / 2,
+            ys + wh[..., 1] / 2,
+        ],
+        axis=2,
+    )  # (B, K, 4)
+
+    dimension = gather_feature(output["dimension"], inds)  # (B, K, 3)
+    rotation = gather_feature(output["rotation"], inds)  # (B, K, 8)
+    alpha = get_alpha(rotation, xp=jnp)
+    center = jnp.stack(
+        [(bboxes[..., 0] + bboxes[..., 2]) / 2, (bboxes[..., 1] + bboxes[..., 3]) / 2],
+        axis=2,
+    )
+    calib = calib.reshape(batch, 3, 4)
+    thresh = distance_thresh(calib, center, dimension, alpha, xp=jnp)
+    return frustum_association(pc_dep, depth, bboxes, thresh, max_pc_dist)

@@ -1,10 +1,16 @@
 import os
 
-# Force a virtual 8-device CPU mesh for every test; must run before jax import.
-os.environ["JAX_PLATFORMS"] = "cpu"
+# Force a virtual 8-device CPU mesh for every test. NOTE: this image registers
+# the axon TPU backend from sitecustomize and exports JAX_PLATFORMS=axon, so
+# the env var alone is NOT enough — jax.config must be updated post-import
+# (before any backend is instantiated).
 flags = os.environ.get("XLA_FLAGS", "")
 if "xla_force_host_platform_device_count" not in flags:
     os.environ["XLA_FLAGS"] = flags + " --xla_force_host_platform_device_count=8"
+
+import jax
+
+jax.config.update("jax_platforms", "cpu")
 
 import numpy as np
 import pytest
@@ -13,3 +19,10 @@ import pytest
 @pytest.fixture
 def rng():
     return np.random.RandomState(0)
+
+
+@pytest.fixture(scope="session")
+def devices8():
+    devs = jax.devices()
+    assert len(devs) == 8, f"expected 8 virtual CPU devices, got {devs}"
+    return devs
