@@ -1,0 +1,89 @@
+"""Benchmark: flagship CenterFusion inference throughput on one TPU chip.
+
+Measures steady-state frames/sec of the full eval pipeline - DLA-34 (DCN
+nodes) forward, frustum radar association, CenterNet decode - at the
+reference resolution 448x800 on a 6-camera batch, bfloat16 compute.
+
+Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
+``vs_baseline`` is relative to REFERENCE_FPS, an estimate of the PyTorch
+reference's single-GPU throughput (the reference publishes no throughput
+numbers - SURVEY.md section 6; 25 fps is a representative DLA-34 CenterFusion
+rate on a contemporary discrete GPU). BASELINE.json's north star is >5x.
+"""
+
+from __future__ import annotations
+
+import json
+import time
+
+import numpy as np
+
+REFERENCE_FPS = 25.0
+BATCH = 6  # one nuScenes sample = 6 cameras
+WARMUP = 3
+ITERS = 12
+
+
+def main():
+    import jax
+    import jax.numpy as jnp
+    from centerfusiondetect3d_tpu.config import load_config
+    from centerfusiondetect3d_tpu.models import build_model
+    from centerfusiondetect3d_tpu.ops import fusion_decode
+
+    cfg = load_config(
+        opts=["MODEL.INPUT_SIZE", "(448, 800)", "MODEL.DLA.NODE", "DeformConv"],
+        num_classes=10,
+    )
+    model = build_model(cfg)  # bf16 via MIXED_PRECISION default
+
+    rng = np.random.RandomState(0)
+    h, w = cfg.MODEL.INPUT_SIZE
+    oh, ow = cfg.MODEL.OUTPUT_SIZE
+    image = jnp.asarray(rng.randn(BATCH, h, w, 3).astype(np.float32))
+    pc_dep = jnp.asarray(np.abs(rng.randn(BATCH, oh, ow, 3)).astype(np.float32))
+    calib = jnp.asarray(
+        np.tile(
+            np.array(
+                [[1266.4, 0, 816.3, 0], [0, 1266.4, 491.5, 0], [0, 0, 1, 0]],
+                np.float32,
+            ),
+            (BATCH, 1, 1),
+        )
+    )
+
+    variables = jax.jit(model.init, static_argnames=("train",))(
+        jax.random.PRNGKey(0), image, None, pc_dep, calib, train=False
+    )
+
+    @jax.jit
+    def infer(variables, image, pc_dep, calib):
+        outputs = model.apply(variables, image, None, pc_dep, calib, train=False)
+        return fusion_decode(outputs, cfg.MODEL.OUTPUT_SIZE, k=cfg.MODEL.K)
+
+    # warmup / compile. NOTE: fetch a real output every iteration - on the
+    # axon backend block_until_ready alone returns before execution finishes,
+    # yielding fictitious throughput numbers.
+    for _ in range(WARMUP):
+        np.asarray(infer(variables, image, pc_dep, calib)["scores"])
+
+    t0 = time.perf_counter()
+    for _ in range(ITERS):
+        np.asarray(infer(variables, image, pc_dep, calib)["scores"])
+    dt = time.perf_counter() - t0
+
+    fps = BATCH * ITERS / dt
+    print(
+        json.dumps(
+            {
+                "metric": "eval_fps_per_chip_6cam_fusion",
+                "value": round(fps, 2),
+                "unit": "frames/sec",
+                "vs_baseline": round(fps / REFERENCE_FPS, 3),
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()

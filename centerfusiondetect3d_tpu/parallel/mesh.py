@@ -1,0 +1,61 @@
+"""Device mesh and sharding specs for SPMD data-parallel training/eval.
+
+Replaces the reference's Lightning DDP/NCCL backend
+(/root/reference/src/lib/trainer.py:54-70, progressBar.py:85-93): the batch
+axis is sharded over a ('data', 'model') mesh; gradient all-reduce is the
+psum XLA inserts automatically under jit; eval-side detection gathering is an
+``all_gather`` of fixed-size (B, K, .) tensors over ICI (the reference's
+explicit torch.distributed.all_gather of decode outputs).
+
+The 'model' axis is reserved for sharding wide head towers (tensor
+parallelism); the flagship CNN is data-parallel-first like the reference.
+"""
+
+from __future__ import annotations
+
+from typing import Any, Dict
+
+import jax
+import numpy as np
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+DATA_AXIS = "data"
+MODEL_AXIS = "model"
+
+
+def make_mesh(n_data: int = -1, n_model: int = 1, devices=None) -> Mesh:
+    """Build a (data, model) mesh; n_data == -1 uses all remaining devices."""
+    devices = list(devices if devices is not None else jax.devices())
+    if n_data == -1:
+        n_data = len(devices) // n_model
+    devs = np.asarray(devices[: n_data * n_model]).reshape(n_data, n_model)
+    return Mesh(devs, (DATA_AXIS, MODEL_AXIS))
+
+
+def batch_sharding(mesh: Mesh) -> NamedSharding:
+    """Leading (batch) dim sharded over the data axis."""
+    return NamedSharding(mesh, P(DATA_AXIS))
+
+
+def replicated(mesh: Mesh) -> NamedSharding:
+    return NamedSharding(mesh, P())
+
+
+def shard_batch(batch: Dict[str, Any], mesh: Mesh) -> Dict[str, Any]:
+    """Place every array in the batch with its leading dim over 'data'."""
+    sharding = batch_sharding(mesh)
+    return jax.tree.map(lambda x: jax.device_put(x, sharding), batch)
+
+
+def replicate(tree: Any, mesh: Mesh) -> Any:
+    sharding = replicated(mesh)
+    return jax.tree.map(lambda x: jax.device_put(x, sharding), tree)
+
+
+def gather_detections(detections: Dict[str, Any]) -> Dict[str, Any]:
+    """Host-side: fetch the (globally sharded) fixed-size detection tensors.
+
+    Under jit the batch axis is already global; this is just a device-to-host
+    transfer of the addressable shards, concatenated in batch order.
+    """
+    return jax.tree.map(lambda x: np.asarray(jax.device_get(x)), detections)

@@ -1,0 +1,19 @@
+from .schedule import learning_rate
+from .state import (
+    TrainState,
+    create_train_state,
+    make_optimizer,
+    make_train_step,
+    make_eval_step,
+    mask_backbone_grads,
+)
+
+__all__ = [
+    "learning_rate",
+    "TrainState",
+    "create_train_state",
+    "make_optimizer",
+    "make_train_step",
+    "make_eval_step",
+    "mask_backbone_grads",
+]

@@ -1,0 +1,90 @@
+"""Epoch-based learning-rate schedules.
+
+Pure re-derivation of the reference's SequentialLR compositions
+(/root/reference/src/lib/model/modelWithLoss.py:57-203):
+
+- ``StepLR``: 2^(t-W) gradual warmup (Goyal et al.), multi-step 0.1 decay,
+  and a defreeze-aware re-warmup that intentionally resets decay accumulated
+  during the frozen phase.
+- ``CLR``: triangular cyclic LR before the defreeze epoch, triangular2 after,
+  with constant 0.1^k segments for LR steps past defreeze.
+
+These are host-side scalar functions of the epoch; the resulting LR is fed
+into optax via ``inject_hyperparams`` so no recompilation happens on decay.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+
+def _clr_factor(t: float, mode: str, step_size: int = 5,
+                base_ratio: float = 1.0 / 15.0) -> float:
+    """CyclicLR factor relative to max_lr."""
+    cycle = np.floor(1 + t / (2 * step_size))
+    x = abs(t / step_size - 2 * cycle + 1)
+    scale = 1.0 if mode == "triangular" else 1.0 / (2 ** (cycle - 1))
+    return float(base_ratio + (1.0 - base_ratio) * max(0.0, 1.0 - x) * scale)
+
+
+def learning_rate(config, epoch: int, start_epoch: int = 0) -> float:
+    """LR for a given (global) epoch, replicating the reference schedules."""
+    lr = float(config.TRAIN.LR)
+    steps = tuple(config.TRAIN.LR_STEP)
+    defreeze = int(config.MODEL.DEFREEZE)
+    sched = config.TRAIN.LR_SCHEDULER
+
+    # resume: fold LR steps already passed into the base LR (modelWithLoss:61-63)
+    start_lr = lr
+    for s in steps:
+        if start_epoch >= s:
+            start_lr *= 0.1
+    e = epoch - start_epoch  # scheduler-local epoch
+
+    if sched == "CLR":
+        local_defreeze = max(defreeze - start_epoch, 0)
+        # constant segments for LR steps past defreeze
+        past = [s for s in steps if s > defreeze]
+        seg_start = None
+        k = 0
+        for i, s in enumerate(past):
+            if epoch >= s:
+                seg_start, k = s, i + 1
+        if seg_start is not None:
+            return start_lr * (0.1 ** k)
+        if e < local_defreeze:
+            return start_lr * _clr_factor(e, "triangular")
+        return start_lr * _clr_factor(e - local_defreeze, "triangular2")
+
+    if sched == "StepLR":
+        warm = int(config.TRAIN.WARM_EPOCHS)
+        # segment 1: initial warmup
+        if warm and e < warm:
+            return start_lr * (0.5 ** (warm - e))
+        if defreeze > start_epoch:
+            local_defreeze = defreeze - start_epoch
+            # segment 2: multi-step decay during the frozen phase
+            if e < local_defreeze:
+                t = e - warm
+                n = sum(
+                    1
+                    for s in steps
+                    if s < defreeze and (s - start_epoch - warm) <= t
+                )
+                return start_lr * (0.1 ** n)
+            # segment 3: re-warmup right after defreeze (decay resets)
+            if warm and e < local_defreeze + warm:
+                t = e - local_defreeze
+                return start_lr * (0.5 ** (warm - t))
+            # segment 4 below with defreeze offset
+            t = e - local_defreeze - warm
+        else:
+            t = e - warm
+        n = sum(
+            1
+            for s in steps
+            if s >= defreeze and (s - warm - max(defreeze, start_epoch)) <= t
+        )
+        return start_lr * (0.1 ** n)
+
+    raise ValueError(f"unknown LR scheduler {sched!r}")

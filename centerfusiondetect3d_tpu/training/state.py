@@ -1,0 +1,145 @@
+"""Train state and jit-compiled train/eval steps.
+
+TPU-native replacement for the reference's Lightning ModelWithLoss + Trainer
+(/root/reference/src/lib/model/modelWithLoss.py:24-361, trainer.py:20-127):
+one functional train step (forward + loss + grad + optax update + BN stats),
+compiled once under jit and sharded over the device mesh by the caller.
+Backbone freezing (MODEL.FREEZE_BACKBONE / DEFREEZE) is a gradient mask over
+the backbone subtrees, mirroring the reference's requires_grad toggling
+(dla.py:618-621, modelWithLoss.py:275-297).
+"""
+
+from __future__ import annotations
+
+from typing import Any, Callable, Dict
+
+import jax
+import jax.numpy as jnp
+import optax
+from flax import struct
+
+BACKBONE_KEYS = ("base", "dla_up", "ida_up")
+WEIGHT_DECAY = 5e-4
+
+
+class TrainState(struct.PyTreeNode):
+    step: jnp.ndarray
+    params: Any
+    batch_stats: Any
+    opt_state: Any
+    tx: optax.GradientTransformation = struct.field(pytree_node=False)
+
+    def apply_gradients(self, grads, update_mask=None):
+        updates, new_opt_state = self.tx.update(grads, self.opt_state, self.params)
+        if update_mask is not None:
+            # zero the whole update (incl. decoupled weight decay) for frozen
+            # subtrees - torch skips no-grad params entirely, so frozen params
+            # must not decay either
+            updates = update_mask(updates)
+        return self.replace(
+            step=self.step + 1,
+            params=optax.apply_updates(self.params, updates),
+            opt_state=new_opt_state,
+        )
+
+
+def make_optimizer(config) -> optax.GradientTransformation:
+    """AdamW(wd 5e-4) or SGD(momentum .9, wd 5e-4) with injectable LR."""
+    name = config.TRAIN.OPTIMIZER
+
+    def make(learning_rate):
+        if name == "adam":
+            return optax.adamw(learning_rate, weight_decay=WEIGHT_DECAY)
+        if name == "sgd":
+            return optax.chain(
+                optax.add_decayed_weights(WEIGHT_DECAY),
+                optax.sgd(learning_rate, momentum=0.9),
+            )
+        raise ValueError(f"unknown optimizer {name!r}")
+
+    return optax.inject_hyperparams(make)(learning_rate=float(config.TRAIN.LR))
+
+
+def create_train_state(config, model, variables) -> TrainState:
+    tx = make_optimizer(config)
+    return TrainState(
+        step=jnp.zeros((), jnp.int32),
+        params=variables["params"],
+        batch_stats=variables.get("batch_stats", {}),
+        opt_state=tx.init(variables["params"]),
+        tx=tx,
+    )
+
+
+def mask_backbone_grads(grads):
+    """Zero gradients of the backbone subtrees (frozen-backbone phase)."""
+    return {
+        k: (jax.tree.map(jnp.zeros_like, v) if k in BACKBONE_KEYS else v)
+        for k, v in grads.items()
+    }
+
+
+def make_train_step(model, loss_fn, freeze_backbone: bool = False) -> Callable:
+    """Build the jittable train step.
+
+    Returns step(state, batch, lr) -> (state, metrics). ``lr`` is a traced
+    scalar injected into the optimizer, so LR decay never recompiles.
+    """
+
+    def train_step(state: TrainState, batch: Dict[str, Any], lr):
+        def compute_loss(params):
+            outputs, updates = model.apply(
+                {"params": params, "batch_stats": state.batch_stats},
+                batch["image"],
+                batch.get("pc_hm"),
+                batch.get("pc_dep"),
+                batch.get("calib"),
+                train=True,
+                mutable=["batch_stats"],
+            )
+            total, parts = loss_fn(outputs, batch)
+            return total, (parts, updates["batch_stats"])
+
+        (total, (parts, new_stats)), grads = jax.value_and_grad(
+            compute_loss, has_aux=True
+        )(state.params)
+        if freeze_backbone:
+            grads = mask_backbone_grads(grads)
+
+        # inject the LR into the optimizer hyperparams
+        opt_state = state.opt_state
+        opt_state.hyperparams["learning_rate"] = jnp.asarray(lr, jnp.float32)
+        state = state.replace(opt_state=opt_state)
+        state = state.apply_gradients(
+            grads, update_mask=mask_backbone_grads if freeze_backbone else None
+        )
+        state = state.replace(batch_stats=new_stats)
+
+        metrics = dict(parts)
+        metrics["grad_norm"] = optax.global_norm(grads)
+        return state, metrics
+
+    return train_step
+
+
+def make_eval_step(model, loss_fn=None, decode_fn=None) -> Callable:
+    """Build the jittable eval step: forward (+ loss) (+ decode)."""
+
+    def eval_step(state: TrainState, batch: Dict[str, Any]):
+        outputs = model.apply(
+            {"params": state.params, "batch_stats": state.batch_stats},
+            batch["image"],
+            batch.get("pc_hm"),
+            batch.get("pc_dep"),
+            batch.get("calib"),
+            train=False,
+        )
+        ret = {}
+        if loss_fn is not None:
+            ret["loss"], ret["loss_parts"] = loss_fn(outputs, batch, train=False)
+        if decode_fn is not None:
+            ret["detections"] = decode_fn(outputs)
+        ret["outputs"] = outputs
+        return ret
+
+    return eval_step

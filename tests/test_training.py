@@ -1,0 +1,195 @@
+import numpy as np
+import jax
+import jax.numpy as jnp
+import pytest
+
+from centerfusiondetect3d_tpu.config import load_config
+from centerfusiondetect3d_tpu.models import build_model
+from centerfusiondetect3d_tpu.losses import GenericLoss
+from centerfusiondetect3d_tpu.training import (
+    learning_rate,
+    create_train_state,
+    make_train_step,
+    make_eval_step,
+)
+from centerfusiondetect3d_tpu.parallel import make_mesh, shard_batch, replicate
+
+
+# --------------------------------------------------------------- schedules
+def test_steplr_warmup_and_decay():
+    cfg = load_config(
+        opts=["TRAIN.LR", "2.5e-4", "TRAIN.LR_STEP", "(90, 120)",
+              "TRAIN.WARM_EPOCHS", "5", "TRAIN.EPOCHS", "140"],
+        num_classes=10,
+    )
+    lr = lambda e: learning_rate(cfg, e)
+    np.testing.assert_allclose(lr(0), 2.5e-4 * 0.5 ** 5)
+    np.testing.assert_allclose(lr(4), 2.5e-4 * 0.5 ** 1)
+    np.testing.assert_allclose(lr(5), 2.5e-4)
+    np.testing.assert_allclose(lr(89), 2.5e-4)
+    np.testing.assert_allclose(lr(90), 2.5e-5)
+    np.testing.assert_allclose(lr(121), 2.5e-6)
+
+
+def test_steplr_defreeze_rewarmup():
+    cfg = load_config(
+        opts=["TRAIN.LR", "5e-5", "TRAIN.LR_STEP", "(185, 195)",
+              "TRAIN.WARM_EPOCHS", "5", "MODEL.FREEZE_BACKBONE", "True",
+              "MODEL.DEFREEZE", "170", "TRAIN.EPOCHS", "200"],
+        num_classes=10,
+    )
+    lr = lambda e: learning_rate(cfg, e)
+    np.testing.assert_allclose(lr(0), 5e-5 * 0.5 ** 5)
+    np.testing.assert_allclose(lr(10), 5e-5)  # flat frozen phase
+    np.testing.assert_allclose(lr(169), 5e-5)
+    # re-warmup right after defreeze
+    np.testing.assert_allclose(lr(170), 5e-5 * 0.5 ** 5)
+    np.testing.assert_allclose(lr(175), 5e-5)
+    np.testing.assert_allclose(lr(185), 5e-6)
+    np.testing.assert_allclose(lr(195), 5e-7)
+
+
+def test_clr_triangular():
+    cfg = load_config(
+        opts=["TRAIN.LR_SCHEDULER", "CLR", "TRAIN.WARM_EPOCHS", "0",
+              "TRAIN.LR", "1e-3", "TRAIN.LR_STEP", "(50,)", "TRAIN.EPOCHS", "60"],
+        num_classes=10,
+    )
+    lr = lambda e: learning_rate(cfg, e)
+    np.testing.assert_allclose(lr(0), 1e-3 / 15)
+    np.testing.assert_allclose(lr(5), 1e-3)  # peak of triangle
+    np.testing.assert_allclose(lr(10), 1e-3 / 15)  # back to base
+    # constant 0.1 segment after LR step (> defreeze=0)
+    np.testing.assert_allclose(lr(55), 1e-4)
+
+
+def test_resume_folds_lr_steps():
+    cfg = load_config(
+        opts=["TRAIN.LR", "2.5e-4", "TRAIN.LR_STEP", "(90, 120)",
+              "TRAIN.WARM_EPOCHS", "0"],
+        num_classes=10,
+    )
+    # Faithful reference quirk (modelWithLoss.py:61-63 + 175-186): a milestone
+    # already passed at resume is folded into start_lr AND still counted as a
+    # (negative) MultiStepLR milestone, so it decays twice.
+    np.testing.assert_allclose(learning_rate(cfg, 100, start_epoch=100), 2.5e-6)
+
+
+# -------------------------------------------------------------- train step
+@pytest.fixture(scope="module")
+def tiny_setup():
+    cfg = load_config(
+        opts=["MODEL.INPUT_SIZE", "(64, 128)", "MODEL.DLA.NODE", "Conv",
+              "MIXED_PRECISION", "False"],
+        num_classes=10,
+    )
+    model = build_model(cfg)
+    loss_fn = GenericLoss(cfg)
+    rng = np.random.RandomState(0)
+    b, m = 2, 8
+    h, w = cfg.MODEL.INPUT_SIZE
+    oh, ow = cfg.MODEL.OUTPUT_SIZE
+    batch = {
+        "image": rng.randn(b, h, w, 3).astype(np.float32),
+        "pc_hm": np.abs(rng.randn(b, oh, ow, 3)).astype(np.float32),
+        "pc_dep": np.abs(rng.randn(b, oh, ow, 3)).astype(np.float32),
+        "calib": np.tile(
+            np.array([[120.0, 0, ow / 2, 0], [0, 120.0, oh / 2, 0], [0, 0, 1, 0]],
+                     np.float32), (b, 1, 1)),
+        "heatmap0": np.zeros((b, oh, ow, 10), np.float32),
+        "classIds": rng.randint(0, 10, (b, m)),
+        "mask": np.ones((b, m), np.float32),
+        "truncMask": np.zeros((b, m), np.float32),
+        "widthHeight": rng.rand(b, m, 2).astype(np.float32) * 30,
+        "reg": rng.rand(b, m, 2).astype(np.float32),
+        "depth": rng.rand(b, m, 1).astype(np.float32) * 50,
+        "dimension": rng.rand(b, m, 3).astype(np.float32) * 3,
+        "amodal_offset": rng.randn(b, m, 2).astype(np.float32),
+        "nuscenes_att": rng.randint(0, 2, (b, m, 8)).astype(np.float32),
+        "nuscenes_att_mask": rng.randint(0, 2, (b, m, 8)).astype(np.float32),
+        "velocity": rng.randn(b, m, 3).astype(np.float32),
+        "rotbin": rng.randint(0, 2, (b, m, 2)),
+        "rotres": rng.randn(b, m, 2).astype(np.float32) * 0.2,
+        "target": {
+            "heatCenters": np.stack(
+                [rng.rand(b, m) * (ow - 1), rng.rand(b, m) * (oh - 1)], -1
+            ).astype(np.float32),
+            "bboxes": rng.rand(b, m, 4).astype(np.float32) * 30,
+            "bboxes3d": rng.randn(b, m, 8, 3).astype(np.float32),
+        },
+    }
+    batch = jax.tree.map(jnp.asarray, batch)
+    variables = model.init(
+        jax.random.PRNGKey(0), batch["image"], batch["pc_hm"], batch["pc_dep"],
+        batch["calib"], train=True,
+    )
+    return cfg, model, loss_fn, batch, variables
+
+
+def test_train_step_updates_params(tiny_setup):
+    cfg, model, loss_fn, batch, variables = tiny_setup
+    state = create_train_state(cfg, model, variables)
+    step = jax.jit(make_train_step(model, loss_fn))
+    state1, m1 = step(state, batch, 1e-4)
+    state2, m2 = step(state1, batch, 1e-4)
+    assert np.isfinite(float(m1["total"]))
+    assert float(m2["total"]) < float(m1["total"])  # optimizes on a fixed batch
+    p0 = jax.tree.leaves(state.params)[0]
+    p2 = jax.tree.leaves(state2.params)[0]
+    assert not np.allclose(np.asarray(p0), np.asarray(p2))
+    assert int(state2.step) == 2
+
+
+def test_train_step_freeze_backbone(tiny_setup):
+    cfg, model, loss_fn, batch, variables = tiny_setup
+    state = create_train_state(cfg, model, variables)
+    step = jax.jit(make_train_step(model, loss_fn, freeze_backbone=True))
+    state1, _ = step(state, batch, 1e-3)
+    base0 = jax.tree.leaves(state.params["base"])
+    base1 = jax.tree.leaves(state1.params["base"])
+    for a, b_ in zip(base0, base1):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b_))
+    # heads must still train
+    h0 = jax.tree.leaves(state.params["detect_head_0"])[0]
+    h1 = jax.tree.leaves(state1.params["detect_head_0"])[0]
+    assert not np.allclose(np.asarray(h0), np.asarray(h1))
+
+
+def test_eval_step_decodes(tiny_setup):
+    from centerfusiondetect3d_tpu.ops import fusion_decode
+
+    cfg, model, loss_fn, batch, variables = tiny_setup
+    state = create_train_state(cfg, model, variables)
+    eval_step = jax.jit(
+        make_eval_step(
+            model,
+            loss_fn=None,
+            decode_fn=lambda outs: fusion_decode(outs, cfg.MODEL.OUTPUT_SIZE, k=10),
+        )
+    )
+    out = eval_step(state, batch)
+    assert out["detections"]["scores"].shape == (2, 10)
+
+
+# ------------------------------------------------------------- 8-dev mesh
+def test_data_parallel_train_step(tiny_setup, devices8):
+    cfg, model, loss_fn, batch, variables = tiny_setup
+    mesh = make_mesh(n_data=8, n_model=1, devices=devices8)
+    # batch of 8 via tiling the 2-sample batch
+    batch8 = jax.tree.map(
+        lambda x: jnp.concatenate([x] * 4, axis=0) if x.ndim >= 1 and x.shape[0] == 2 else x,
+        batch,
+    )
+    batch8 = shard_batch(batch8, mesh)
+    state = create_train_state(cfg, model, variables)
+    state = state.replace(
+        params=replicate(state.params, mesh),
+        batch_stats=replicate(state.batch_stats, mesh),
+        opt_state=replicate(state.opt_state, mesh),
+    )
+    step = jax.jit(make_train_step(model, loss_fn))
+    new_state, metrics = step(state, batch8, 1e-4)
+    assert np.isfinite(float(metrics["total"]))
+    # params stay replicated, batch stays sharded
+    p = jax.tree.leaves(new_state.params)[0]
+    assert len(p.sharding.device_set) == 8
