@@ -1,0 +1,133 @@
+"""Host data pipeline: batching, shuffling, threaded prefetch, device put.
+
+Replaces the reference's torch DataLoader + worker processes
+(/root/reference/src/main.py:98-122) with a thread-pool loader feeding a
+double-buffered device prefetch queue: item building (cv2 warp + numpy target
+scatter) overlaps with device compute, and batches land pre-sharded on the
+mesh so the train step never waits on H2D copies.
+"""
+
+from __future__ import annotations
+
+import queue
+import threading
+from typing import Dict, Iterator, Optional
+
+import numpy as np
+
+
+def stack_items(items) -> Dict[str, np.ndarray]:
+    """Stack a list of item dicts into batched arrays (recursive)."""
+    out = {}
+    for key in items[0]:
+        vals = [it[key] for it in items]
+        if isinstance(vals[0], dict):
+            out[key] = stack_items(vals)
+        else:
+            out[key] = np.stack([np.asarray(v) for v in vals], axis=0)
+    return out
+
+
+class Loader:
+    """Iterable over batched items with optional shuffling and prefetch."""
+
+    def __init__(self, dataset, batch_size: int, shuffle: bool = False,
+                 seed: int = 0, drop_last: bool = True, num_threads: int = 2,
+                 prefetch: int = 2, drop_keys=("meta",)):
+        self.dataset = dataset
+        self.batch_size = batch_size
+        self.shuffle = shuffle
+        self.seed = seed
+        self.drop_last = drop_last
+        self.num_threads = max(1, num_threads)
+        self.prefetch = prefetch
+        self.drop_keys = set(drop_keys or ())
+        self.epoch = 0
+
+    def __len__(self):
+        n = len(self.dataset)
+        return n // self.batch_size if self.drop_last else -(-n // self.batch_size)
+
+    def _indices(self) -> np.ndarray:
+        idx = np.arange(len(self.dataset))
+        if self.shuffle:
+            np.random.RandomState(self.seed + self.epoch).shuffle(idx)
+        return idx
+
+    def _build(self, index: int, sample_seed: int):
+        rng = (
+            np.random.RandomState(sample_seed) if self.shuffle else None
+        )
+        item = self.dataset.get_item(index, rng)
+        for k in self.drop_keys:
+            item.pop(k, None)
+        return item
+
+    def __iter__(self) -> Iterator[Dict[str, np.ndarray]]:
+        indices = self._indices()
+        n_batches = len(self)
+        base = (self.seed + self.epoch) * 1_000_003
+
+        def batches():
+            for b in range(n_batches):
+                chunk = indices[b * self.batch_size : (b + 1) * self.batch_size]
+                items = [
+                    self._build(int(i), base + int(i)) for i in chunk
+                ]
+                yield stack_items(items)
+
+        if self.prefetch > 0:
+            yield from _prefetch_iter(batches(), self.prefetch)
+        else:
+            yield from batches()
+        self.epoch += 1
+
+
+def _prefetch_iter(it, depth: int):
+    """Run the producer in a background thread with a bounded queue."""
+    q: queue.Queue = queue.Queue(maxsize=depth)
+    _END = object()
+    err = []
+
+    def worker():
+        try:
+            for x in it:
+                q.put(x)
+        except BaseException as e:  # propagate into the consumer
+            err.append(e)
+        finally:
+            q.put(_END)
+
+    t = threading.Thread(target=worker, daemon=True)
+    t.start()
+    while True:
+        x = q.get()
+        if x is _END:
+            break
+        yield x
+    if err:
+        raise err[0]
+
+
+def device_prefetch(batch_iter, mesh=None, size: int = 2):
+    """Move batches to device (sharded over the mesh) ahead of consumption."""
+    import jax
+    from ..parallel import shard_batch
+
+    def put(batch):
+        if mesh is not None:
+            return shard_batch(batch, mesh)
+        return jax.tree.map(jax.device_put, batch)
+
+    buf = []
+    it = iter(batch_iter)
+    try:
+        for _ in range(size):
+            buf.append(put(next(it)))
+    except StopIteration:
+        pass
+    for batch in it:
+        out = buf.pop(0)
+        buf.append(put(batch))
+        yield out
+    yield from buf

@@ -1,0 +1,154 @@
+import numpy as np
+import pytest
+
+from centerfusiondetect3d_tpu.config import load_config
+from centerfusiondetect3d_tpu.data import (
+    CocoReader,
+    Loader,
+    NuScenesDataset,
+    get_dataset,
+    make_synthetic_nuscenes,
+    stack_items,
+)
+from centerfusiondetect3d_tpu.data.radar import (
+    map_pointcloud_to_image,
+    transform_point_cloud,
+    pillar_sizes,
+)
+
+
+@pytest.fixture(scope="module")
+def data_root(tmp_path_factory):
+    root = tmp_path_factory.mktemp("synth")
+    make_synthetic_nuscenes(str(root), n_samples=4, img_wh=(160, 96))
+    return str(root)
+
+
+@pytest.fixture(scope="module")
+def cfg(data_root):
+    return load_config(
+        opts=[
+            "DATASET.ROOT", repr(data_root + "/"),
+            "MODEL.INPUT_SIZE", "(96, 160)",
+            "MODEL.DLA.NODE", "Conv",
+            "MIXED_PRECISION", "False",
+            "LOSS_WEIGHTS.LIDAR_DEPTH", "0.1",
+        ],
+        num_classes=10,
+    )
+
+
+def test_coco_reader(data_root, cfg):
+    r = CocoReader(data_root + "/nuscenes/annotations/train.json")
+    ids = r.get_img_ids()
+    assert len(ids) == 4
+    info = r.load_imgs(ids[0])[0]
+    assert {"calib", "sensor_id", "sample_token", "width", "height"} <= set(info)
+    anns = r.load_anns(r.get_ann_ids(ids[0]))
+    assert len(anns) == 3
+    assert {"bbox", "depth", "dimension", "alpha", "velocity_cam"} <= set(anns[0])
+
+
+def test_map_pointcloud_to_image():
+    intr = np.array([[100.0, 0, 80], [0, 100.0, 48], [0, 0, 1]], np.float32)
+    pts = np.array(
+        [[0.0, 0.0, 10.0],    # center ray, depth 10 -> (80, 48)
+         [0.0, -100.0, 10.0], # projects far above -> filtered
+         [0.0, 0.0, -5.0]],   # behind camera -> filtered
+        np.float32,
+    ).T
+    out, mask = map_pointcloud_to_image(pts, intr, img_shape=(160, 96))
+    assert mask.tolist() == [True, False, False]
+    np.testing.assert_allclose(out[:, 0], [80, 48, 10], atol=1e-4)
+
+
+def test_transform_point_cloud_filters():
+    pc = np.array([[10.0, 200.0], [10.0, 10.0], [5.0, 6.0]], np.float32)
+    mat = np.array([[0.5, 0, 0], [0, 0.5, 0]], np.float32)
+    out, mask = transform_point_cloud(pc, mat, 50, 40)
+    assert mask.tolist() == [True, False]
+    np.testing.assert_allclose(out[:, 0], [5.0, 5.0, 5.0])
+
+
+def test_pillar_sizes_scale_with_depth():
+    calib = np.array([[100.0, 0, 80, 0], [0, 100.0, 48, 0], [0, 0, 1, 0]], np.float32)
+    trans = np.array([[1.0, 0, 0], [0, 1.0, 0]], np.float32)
+    pc = np.zeros((18, 2), np.float32)
+    pc[2] = [5.0, 50.0]  # near and far
+    wh = pillar_sizes(pc, calib, trans, (96, 160), (1.5, 0.2, 0.2))
+    assert wh.shape == (2, 2)
+    assert wh[0, 0] > wh[0, 1]  # nearer pillar is bigger
+    assert wh[1, 0] > wh[1, 1]
+
+
+def test_dataset_eval_item(cfg):
+    ds = NuScenesDataset(cfg, "mini_val")
+    item = ds.get_item(0, rng=None)
+    ih, iw = cfg.MODEL.INPUT_SIZE
+    oh, ow = cfg.MODEL.OUTPUT_SIZE
+    assert item["image"].shape == (ih, iw, 3)
+    assert item["heatmap0"].shape == (oh, ow, 10)
+    assert item["pc_dep"].shape == (oh, ow, 3)
+    assert item["pc_hm"].shape == (oh, ow, 3)
+    assert item["pc_2d"].shape == (cfg.DATASET.MAX_PC, 3)
+    assert item["pc_lidar"].shape == (4000, 3)
+    assert item["mask"].sum() > 0
+    # heatmap has at least one peak equal to 1
+    assert np.isclose(item["heatmap0"].max(), 1.0)
+    # depth targets positive for valid objects
+    valid = item["mask"] > 0
+    assert (item["depth"][valid] > 0).all()
+    # GT-frustum pc_hm depth channel normalized
+    assert item["pc_hm"][..., 0].max() <= 1.0 + 1e-6
+
+
+def test_dataset_train_item_augmented(cfg):
+    ds = get_dataset("nuscenes")(cfg, "train")
+    rng = np.random.RandomState(3)
+    item = ds.get_item(1, rng)
+    assert np.isfinite(item["image"]).all()
+    assert item["mask"].sum() >= 0
+
+
+def test_loader_batches(cfg):
+    ds = NuScenesDataset(cfg, "mini_val")
+    loader = Loader(ds, batch_size=2, shuffle=False, prefetch=1)
+    batches = list(loader)
+    assert len(batches) == 2
+    b = batches[0]
+    assert b["image"].shape[0] == 2
+    assert b["target"]["heatCenters"].shape == (2, ds.max_objs, 2)
+    assert b["pc_dep"].shape[0] == 2
+
+
+def test_loader_shuffle_reproducible(cfg):
+    ds = NuScenesDataset(cfg, "train")
+    l1 = Loader(ds, batch_size=2, shuffle=True, seed=7, prefetch=0)
+    l2 = Loader(ds, batch_size=2, shuffle=True, seed=7, prefetch=0)
+    b1 = next(iter(l1))
+    b2 = next(iter(l2))
+    np.testing.assert_array_equal(b1["image"], b2["image"])
+
+
+def test_end_to_end_loss_on_real_items(cfg):
+    """Items from the synthetic dataset feed the model+loss without NaNs."""
+    import jax
+    import jax.numpy as jnp
+    from centerfusiondetect3d_tpu.models import build_model
+    from centerfusiondetect3d_tpu.losses import GenericLoss
+
+    ds = NuScenesDataset(cfg, "train")
+    loader = Loader(ds, batch_size=2, shuffle=True, seed=0, prefetch=0)
+    batch = jax.tree.map(jnp.asarray, next(iter(loader)))
+
+    model = build_model(cfg)
+    variables = model.init(
+        jax.random.PRNGKey(0), batch["image"], batch["pc_hm"], batch["pc_dep"],
+        batch["calib"], train=True,
+    )
+    outs, _ = model.apply(
+        variables, batch["image"], batch["pc_hm"], batch["pc_dep"], batch["calib"],
+        train=True, mutable=["batch_stats"],
+    )
+    total, parts = GenericLoss(cfg)(outs, batch)
+    assert np.isfinite(float(total)), parts
