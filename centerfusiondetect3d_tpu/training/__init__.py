@@ -17,3 +17,18 @@ __all__ = [
     "make_eval_step",
     "mask_backbone_grads",
 ]
+from .checkpoint import (
+    save_checkpoint,
+    load_checkpoint,
+    resume_state,
+    import_torch_checkpoint,
+    export_torch_state_dict,
+)
+
+__all__ += [
+    "save_checkpoint",
+    "load_checkpoint",
+    "resume_state",
+    "import_torch_checkpoint",
+    "export_torch_state_dict",
+]

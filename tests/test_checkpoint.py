@@ -1,0 +1,141 @@
+import numpy as np
+import jax
+import jax.numpy as jnp
+import pytest
+
+from centerfusiondetect3d_tpu.config import load_config
+from centerfusiondetect3d_tpu.models import build_model
+from centerfusiondetect3d_tpu.training import (
+    create_train_state,
+    save_checkpoint,
+    load_checkpoint,
+    resume_state,
+    import_torch_checkpoint,
+    export_torch_state_dict,
+)
+
+
+@pytest.fixture(scope="module")
+def model_setup():
+    cfg = load_config(
+        opts=["MODEL.INPUT_SIZE", "(64, 64)", "MODEL.DLA.NODE", "DeformConv",
+              "MIXED_PRECISION", "False"],
+        num_classes=10,
+    )
+    model = build_model(cfg)
+    rng = np.random.RandomState(0)
+    oh, ow = cfg.MODEL.OUTPUT_SIZE
+    image = jnp.asarray(rng.randn(1, 64, 64, 3).astype(np.float32))
+    pc_dep = jnp.asarray(np.abs(rng.randn(1, oh, ow, 3)).astype(np.float32))
+    calib = jnp.asarray(
+        np.array([[[120.0, 0, ow / 2, 0], [0, 120.0, oh / 2, 0], [0, 0, 1, 0]]],
+                 np.float32)
+    )
+    variables = model.init(jax.random.PRNGKey(0), image, None, pc_dep, calib)
+    return cfg, model, variables
+
+
+def test_orbax_roundtrip(tmp_path, model_setup):
+    cfg, model, variables = model_setup
+    state = create_train_state(cfg, model, variables)
+    path = save_checkpoint(str(tmp_path / "ckpts"), state, epoch=7,
+                           history={"train": {"total": [1.0]}})
+    payload = load_checkpoint(path)
+    assert int(payload["epoch"]) == 7
+    restored, start_epoch = resume_state(path, state)
+    assert start_epoch == 8
+    a = jax.tree.leaves(state.params)[0]
+    b = jax.tree.leaves(restored.params)[0]
+    np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+
+def test_torch_export_key_names(model_setup):
+    """Exported names must match the reference state_dict convention."""
+    cfg, model, variables = model_setup
+    sd = export_torch_state_dict(
+        variables["params"], variables["batch_stats"], dict(cfg.head_conv)
+    )
+    expected = [
+        "base.base_layer.0.weight",
+        "base.base_layer.1.weight",
+        "base.base_layer.1.running_mean",
+        "base.level0.0.weight",
+        "base.level1.0.weight",
+        "base.level2.tree1.conv1.weight",
+        "base.level2.tree1.bn1.running_var",
+        "base.level2.tree2.conv2.weight",
+        "base.level2.root.conv.weight",
+        "base.level2.project.0.weight",
+        "base.level3.tree1.tree1.conv1.weight",
+        "base.level5.root.bn.weight",
+        "dla_up.ida_0.proj_1.conv_offset_mask.weight",
+        "dla_up.ida_0.proj_1.weight",
+        "dla_up.ida_0.proj_1.bias",
+        "dla_up.ida_0.proj_1.activation.0.weight",
+        "dla_up.ida_0.up_1.weight",
+        "dla_up.ida_0.node_1.weight",
+        "ida_up.proj_2.conv_offset_mask.weight",
+        "detectHead_0.heatmap.0.weight",
+        "detectHead_0.heatmap.2.bias",
+        "detectHead_0.velocity.6.weight",  # 3-layer tower -> out at index 6
+        "detectHead_0.depth2.6.bias",
+    ]
+    for key in expected:
+        assert key in sd, f"missing exported key {key}"
+    # conv layouts are OIHW
+    w = sd["base.base_layer.0.weight"]
+    assert w.shape == (16, 3, 7, 7)
+    up = sd["dla_up.ida_0.up_1.weight"]
+    assert up.shape[1] == 1 and up.shape[2] == up.shape[3]
+
+
+def test_torch_import_roundtrip(model_setup):
+    cfg, model, variables = model_setup
+    head_conv = dict(cfg.head_conv)
+    sd = export_torch_state_dict(
+        variables["params"], variables["batch_stats"], head_conv
+    )
+    # randomize the exported values, then import back and verify they land
+    rng = np.random.RandomState(1)
+    sd2 = {k: rng.randn(*v.shape).astype(np.float32) for k, v in sd.items()}
+    zeros_p = jax.tree.map(lambda x: np.zeros_like(np.asarray(x)), variables["params"])
+    zeros_s = jax.tree.map(lambda x: np.zeros_like(np.asarray(x)),
+                           variables["batch_stats"])
+    new_p, new_s, report = import_torch_checkpoint(sd2, zeros_p, zeros_s, head_conv)
+    assert not report["missing"], report["missing"][:10]
+    assert not report["shape_mismatch"], report["shape_mismatch"][:10]
+    # re-export and compare with the injected values (bijective mapping)
+    sd3 = export_torch_state_dict(new_p, new_s, head_conv)
+    for k in sd2:
+        np.testing.assert_array_equal(sd3[k], sd2[k])
+
+
+def test_import_skips_shape_mismatch(model_setup):
+    cfg, model, variables = model_setup
+    head_conv = dict(cfg.head_conv)
+    sd = export_torch_state_dict(
+        variables["params"], variables["batch_stats"], head_conv
+    )
+    k0 = "detectHead_0.heatmap.0.weight"
+    sd[k0] = np.zeros((1, 2, 3, 3), np.float32)  # wrong shape
+    p, s, report = import_torch_checkpoint(
+        sd, variables["params"], variables["batch_stats"], head_conv
+    )
+    assert k0 in report["shape_mismatch"]
+    # original value kept
+    orig = np.asarray(variables["params"]["detect_head_0"]["heatmap"]["tower_0"]["kernel"])
+    kept = np.asarray(p["detect_head_0"]["heatmap"]["tower_0"]["kernel"])
+    np.testing.assert_array_equal(orig, kept)
+
+
+def test_import_strips_prefixes(model_setup):
+    cfg, model, variables = model_setup
+    head_conv = dict(cfg.head_conv)
+    sd = export_torch_state_dict(
+        variables["params"], variables["batch_stats"], head_conv
+    )
+    sd_prefixed = {"model." + k: v for k, v in sd.items()}
+    _, _, report = import_torch_checkpoint(
+        sd_prefixed, variables["params"], variables["batch_stats"], head_conv
+    )
+    assert not report["missing"]
