@@ -247,6 +247,35 @@ class NuScenesDataset(GenericDataset):
         ann_path = os.path.join(data_dir, "annotations", f"{split}.json")
         super().__init__(config, split, ann_path, data_dir)
 
+    def convert_eval_format(self, results):
+        from .nuscenes_eval import convert_eval_format
+
+        return convert_eval_format(results, self)
+
+    def run_eval(self, results, save_dir: str, verbose: bool = False):
+        """Submission dump + native scoring (nuscenes.py:559-587)."""
+        from .nuscenes_eval import run_eval
+
+        return run_eval(results, self, save_dir, verbose)
+
+    @staticmethod
+    def log_valid_result(logger, summaries):
+        """Log per-range/per-extreme metrics (nuscenes.py:589-626)."""
+        if not summaries:
+            return
+        ranges = {"range_10": "0-10", "range_30": "10-30", "range_50": "30-50",
+                  "range_all": "0-50"}
+        for variant, metrics in summaries.items():
+            base = variant.replace("_extreme", "")
+            logger.info("Eval range: %s | extreme: %s",
+                        ranges.get(base, base), "_extreme" in variant)
+            logger.info("AP/overall: %.2f%%", metrics["mean_ap"] * 100.0)
+            for k, v in metrics["mean_dist_aps"].items():
+                logger.info("AP/%s: %.2f%%", k, v * 100.0)
+            for k, v in metrics["tp_errors"].items():
+                logger.info("Scores/%s: %s", k, v)
+            logger.info("Scores/NDS: %s", metrics["nd_score"])
+
     def _pc_path(self, kind: str, img_info) -> str:
         sensor = self.SENSOR_NAME[img_info["sensor_id"]]
         return os.path.join(
