@@ -99,4 +99,5 @@ def default_config() -> ConfigNode:
     c.TPU.MESH_MODEL = 1
     c.TPU.PREFETCH = 2  # host->device prefetch depth
     c.TPU.DONATE = True
+    c.TPU.PLATFORM = ""  # force a jax platform (e.g. 'cpu'); '' = default
     return c

@@ -1,0 +1,250 @@
+"""Fit/validate orchestration: the reference Trainer + Lightning loop, TPU-native.
+
+Replaces /root/reference/src/lib/trainer.py:20-127 and the Lightning callbacks
+(modelWithLoss.py, progressBar.py): one process, one jit-compiled train step
+over the device mesh, host-side epoch loop with LR schedule, freeze/defreeze
+(recompiles the step once at the defreeze boundary), interval + crash-guard
+checkpointing, running loss meters, device health checks, validation with
+on-device decode+postprocess and native NDS scoring.
+"""
+
+from __future__ import annotations
+
+import logging
+import os
+import time
+from collections import defaultdict
+from typing import Dict, Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..config import ConfigNode
+from ..geometry import get_affine_transform
+from ..losses import GenericLoss
+from ..ops import fusion_decode, post_process
+from ..parallel import make_mesh, replicate, shard_batch
+from ..training import (
+    create_train_state,
+    learning_rate,
+    make_train_step,
+    resume_state,
+    save_checkpoint,
+)
+from ..training.state import TrainState
+from ..utils.observability import (
+    AverageMeter,
+    DeviceHealthMonitor,
+    StageTimer,
+    estimate_cost,
+    plot_history,
+)
+from ..data.nuscenes_eval import detections_to_results
+from ..data.pipeline import Loader
+
+
+class Trainer:
+    def __init__(self, config: ConfigNode, model, dataset_train=None,
+                 dataset_val=None, output_dir: str = "output",
+                 logger: Optional[logging.Logger] = None):
+        self.config = config
+        self.model = model
+        self.loss_fn = GenericLoss(config)
+        self.dataset_train = dataset_train
+        self.dataset_val = dataset_val
+        self.output_dir = output_dir
+        self.logger = logger or logging.getLogger("cfd3d.trainer")
+        self.mesh = make_mesh(config.TPU.MESH_DATA, config.TPU.MESH_MODEL)
+        self.health = DeviceHealthMonitor(logger=self.logger)
+        self.history: Dict[str, Dict[str, list]] = {"train": {}, "val": {}}
+        self.start_epoch = 0
+        self.state: Optional[TrainState] = None
+        self._train_step = {}
+        self._eval_step = None
+
+    # ------------------------------------------------------------- state
+    def init_state(self, sample_batch):
+        batch = jax.tree.map(jnp.asarray, sample_batch)
+        variables = jax.jit(self.model.init, static_argnames=("train",))(
+            jax.random.PRNGKey(self.config.RANDOM_SEED),
+            batch["image"], batch.get("pc_hm"), batch.get("pc_dep"),
+            batch.get("calib"), train=True,
+        )
+        state = create_train_state(self.config, self.model, variables)
+        load_dir = self.config.MODEL.LOAD_DIR
+        if load_dir:
+            if self.config.TRAIN.RESUME:
+                state, self.start_epoch = resume_state(load_dir, state)
+                self.logger.info("resumed from %s at epoch %d", load_dir, self.start_epoch)
+            else:
+                from ..training import load_checkpoint
+
+                payload = load_checkpoint(load_dir)
+                state = state.replace(
+                    params=payload["params"], batch_stats=payload["batch_stats"]
+                )
+                self.logger.info("loaded weights from %s", load_dir)
+        self.state = state.replace(
+            params=replicate(state.params, self.mesh),
+            batch_stats=replicate(state.batch_stats, self.mesh),
+            opt_state=replicate(state.opt_state, self.mesh),
+        )
+        n_params = sum(x.size for x in jax.tree.leaves(self.state.params))
+        self.logger.info("parameters: %.2fM", n_params / 1e6)
+        return self.state
+
+    def _step_fn(self, frozen: bool):
+        if frozen not in self._train_step:
+            self._train_step[frozen] = jax.jit(
+                make_train_step(self.model, self.loss_fn, freeze_backbone=frozen)
+            )
+        return self._train_step[frozen]
+
+    # ------------------------------------------------------------- train
+    def train(self):
+        cfg = self.config
+        loader = Loader(
+            self.dataset_train, cfg.TRAIN.BATCH_SIZE, shuffle=cfg.TRAIN.SHUFFLE,
+            seed=cfg.RANDOM_SEED, num_threads=cfg.WORKERS,
+        )
+        first = None
+        for first in loader:
+            break
+        assert first is not None, "empty training dataset"
+        if self.state is None:
+            self.init_state(first)
+
+        timer = StageTimer()
+        for epoch in range(self.start_epoch, cfg.TRAIN.EPOCHS):
+            frozen = bool(cfg.MODEL.FREEZE_BACKBONE) and epoch <= cfg.MODEL.DEFREEZE
+            step = self._step_fn(frozen)
+            lr = learning_rate(cfg, epoch, self.start_epoch)
+            meters = defaultdict(AverageMeter)
+            t_epoch = time.time()
+            loader.epoch = epoch
+            for i, batch in enumerate(loader):
+                batch = shard_batch(batch, self.mesh)
+                timer.start("step")
+                self.state, metrics = step(self.state, batch, lr)
+                timer.stop("step", metrics["total"])
+                for k, v in metrics.items():
+                    meters[k].update(float(v))
+                self.health.check()
+            msg = " ".join(f"{k} {m.avg:.4f}" for k, m in sorted(meters.items()))
+            self.logger.info(
+                "epoch %d lr %.2e (%.1fs) %s", epoch, lr, time.time() - t_epoch, msg
+            )
+            for k, m in meters.items():
+                self.history["train"].setdefault(k, []).append(m.avg)
+
+            ckpt_dir = os.path.join(self.output_dir, "ckpts")
+            if (epoch + 1) % cfg.TRAIN.SAVE_INTERVALS == 0 or epoch + 1 == cfg.TRAIN.EPOCHS:
+                save_checkpoint(ckpt_dir, self.state, epoch, self.history)
+            if cfg.TRAIN.VAL_INTERVALS > 0 and (epoch + 1) % cfg.TRAIN.VAL_INTERVALS == 0:
+                # crash guard: persist before validation (modelWithLoss.py:329-341)
+                save_checkpoint(ckpt_dir, self.state, epoch, self.history)
+                self.val()
+        plot_history(self.history, self.output_dir)
+        return self.state
+
+    # ------------------------------------------------------------- eval
+    def _build_eval_step(self):
+        cfg = self.config
+        k = int(cfg.MODEL.K)
+
+        def eval_step(state, batch, trans_mat):
+            outputs = self.model.apply(
+                {"params": state.params, "batch_stats": state.batch_stats},
+                batch["image"], batch.get("pc_hm"), batch.get("pc_dep"),
+                batch.get("calib"), train=False,
+            )
+            dets = fusion_decode(
+                outputs, cfg.MODEL.OUTPUT_SIZE, k=k, norm2d=cfg.MODEL.NORM_2D
+            )
+            processed = post_process(
+                dets, trans_mat, cfg.MODEL.OUTPUT_SIZE, batch["calib"]
+            )
+            loss, parts = self.loss_fn(outputs, batch, train=False)
+            return processed, loss, parts
+
+        return jax.jit(eval_step)
+
+    def val(self, loader: Optional[Loader] = None):
+        cfg = self.config
+        if loader is None:
+            loader = Loader(
+                self.dataset_val, cfg.TEST.BATCH_SIZE, shuffle=False,
+                num_threads=cfg.WORKERS, drop_last=False, drop_keys=(),
+            )
+        if self.state is None:
+            first = next(iter(loader))
+            self.init_state(first)
+        if self._eval_step is None:
+            self._eval_step = self._build_eval_step()
+
+        if self.dataset_val is not None and len(loader) > 0:
+            # FLOPs/params report (trainer.py:100-124 analogue) - once
+            pass
+
+        results: Dict[int, list] = {}
+        meters = defaultdict(AverageMeter)
+        oh, ow = cfg.MODEL.OUTPUT_SIZE
+        for batch in loader:
+            meta = batch.pop("meta", None)
+            jbatch = shard_batch(batch, self.mesh)
+            if meta is not None:
+                center = np.asarray(meta["center"][0])
+                scale = np.asarray(meta["scale"][0])
+            else:
+                w = self.dataset_val.default_resolution[1]
+                h = self.dataset_val.default_resolution[0]
+                center = np.array([w / 2, h / 2], np.float32)
+                scale = max(h, w)
+            trans_mat = get_affine_transform(
+                center, scale, 0, (ow, oh), inverse=True
+            ).astype(np.float32)
+            processed, loss, parts = self._eval_step(self.state, jbatch, trans_mat)
+            meters["total"].update(float(loss))
+            for k_, v in parts.items():
+                meters[k_].update(float(v))
+            img_ids = (
+                np.asarray(meta["img_id"]).tolist()
+                if meta is not None
+                else list(range(len(results), len(results) + batch["image"].shape[0]))
+            )
+            processed_np = jax.tree.map(np.asarray, processed)
+            results.update(detections_to_results(processed_np, img_ids))
+
+        for k_, m in meters.items():
+            self.history["val"].setdefault(k_, []).append(m.avg)
+        self.logger.info(
+            "val %s", " ".join(f"{k} {m.avg:.4f}" for k, m in sorted(meters.items()))
+        )
+
+        if self.dataset_val is not None and hasattr(self.dataset_val, "run_eval"):
+            try:
+                _, summaries = self.dataset_val.run_eval(results, self.output_dir)
+                if summaries:
+                    self.dataset_val.log_valid_result(self.logger, summaries)
+            except Exception as e:  # scoring is best-effort (safe_run analogue)
+                self.logger.warning("run_eval failed: %s", e)
+        return results
+
+    def test(self, loader: Optional[Loader] = None):
+        return self.val(loader)
+
+    def profile(self, sample_batch) -> Dict[str, float]:
+        """FLOPs via XLA cost analysis (thop analogue, trainer.py:112-117)."""
+        batch = jax.tree.map(jnp.asarray, sample_batch)
+
+        def fwd(params, batch_stats, image, pc_hm, pc_dep, calib):
+            return self.model.apply(
+                {"params": params, "batch_stats": batch_stats},
+                image, pc_hm, pc_dep, calib, train=False,
+            )
+
+        return estimate_cost(
+            fwd, self.state.params, self.state.batch_stats, batch["image"],
+            batch.get("pc_hm"), batch.get("pc_dep"), batch.get("calib"),
+        )

@@ -27,6 +27,7 @@ def create_logger(output_root: str, name: str, to_file: bool = True):
     os.makedirs(out_dir, exist_ok=True)
     logger = logging.getLogger(f"cfd3d.{name}")
     logger.setLevel(logging.INFO)
+    logger.propagate = False  # root handlers (absl/jax) would double-print
     logger.handlers.clear()
     fmt = logging.Formatter("%(asctime)s %(levelname)s %(message)s")
     sh = logging.StreamHandler()
