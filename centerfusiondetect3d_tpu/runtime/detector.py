@@ -1,0 +1,197 @@
+"""Standalone inference engine with per-stage timing.
+
+Re-design of the reference Detector (/root/reference/src/lib/detector.py:21-645):
+``run(images, img_infos, radar_pc)`` drives load -> pre-process (host affine
+warp + radar rasterize) -> process (jit model forward + decode, one compiled
+program reused across frames) -> post-process -> merge, with device-synced
+per-stage timers. Accepts single images, lists (multi-camera), file paths, or
+ndarrays; batch shape is fixed at construction so the TPU program compiles
+once.
+"""
+
+from __future__ import annotations
+
+import os
+from typing import Dict, List, Optional, Sequence, Union
+
+import numpy as np
+
+import jax
+import jax.numpy as jnp
+
+from ..config import ConfigNode
+from ..geometry import get_affine_transform
+from ..models import build_model
+from ..ops import fusion_decode, post_process
+from ..data.radar import prepare_radar_points
+from ..data.dataset import NuScenesDataset
+from ..data.nuscenes_eval import detections_to_results
+from ..utils.observability import StageTimer
+
+try:
+    import cv2
+except ImportError:  # pragma: no cover
+    cv2 = None
+
+
+class Detector:
+    STAGES = ("load", "preprocess", "net", "merge", "total")
+
+    def __init__(self, config: ConfigNode, variables=None, batch_size: int = 1):
+        self.config = config
+        self.model = build_model(config)
+        self.batch_size = batch_size
+        self.timer = StageTimer()
+        self.mean = NuScenesDataset.mean
+        self.std = NuScenesDataset.std
+        self.variables = variables or self._init_variables()
+        self._infer = jax.jit(self._forward)
+
+    def _init_variables(self):
+        cfg = self.config
+        h, w = cfg.MODEL.INPUT_SIZE
+        oh, ow = cfg.MODEL.OUTPUT_SIZE
+        img = jnp.zeros((self.batch_size, h, w, 3), jnp.float32)
+        pc = (
+            jnp.zeros((self.batch_size, oh, ow, 3), jnp.float32)
+            if cfg.DATASET.RADAR_PC
+            else None
+        )
+        calib = jnp.tile(
+            jnp.asarray([[1200.0, 0, ow * 2, 0], [0, 1200.0, oh * 2, 0], [0, 0, 1, 0]]),
+            (self.batch_size, 1, 1),
+        )
+        return jax.jit(self.model.init, static_argnames=("train",))(
+            jax.random.PRNGKey(0), img, pc, pc, calib, train=False
+        )
+
+    # ---------------------------------------------------------------- stages
+    def load_data(self, images) -> List[np.ndarray]:
+        """str path / ndarray / list thereof -> list of BGR images."""
+        if isinstance(images, (str, np.ndarray)):
+            images = [images]
+        out = []
+        for im in images:
+            if isinstance(im, str):
+                img = cv2.imread(im)
+                if img is None:
+                    raise FileNotFoundError(im)
+                out.append(img)
+            else:
+                out.append(np.asarray(im))
+        return out
+
+    def pre_process(self, images: List[np.ndarray], img_infos=None,
+                    radar_pcs=None):
+        cfg = self.config
+        in_h, in_w = cfg.MODEL.INPUT_SIZE
+        out_h, out_w = cfg.MODEL.OUTPUT_SIZE
+        batch_imgs, batch_pc, calibs, metas = [], [], [], []
+        for i, img in enumerate(images):
+            h, w = img.shape[:2]
+            info = (img_infos[i] if img_infos else {}) or {}
+            center = np.array([w / 2.0, h / 2.0], np.float32)
+            scale = max(h, w) * 1.0
+            trans_in = get_affine_transform(center, scale, 0, (in_w, in_h))
+            trans_out = get_affine_transform(center, scale, 0, (out_w, out_h))
+            warped = cv2.warpAffine(img, trans_in[:2].astype(np.float64),
+                                    (in_w, in_h), flags=cv2.INTER_LINEAR)
+            norm = (warped.astype(np.float32) / 255.0 - self.mean) / self.std
+            batch_imgs.append(norm)
+            calib = np.array(
+                info.get(
+                    "calib",
+                    [[1200.0, 0, w / 2, 0], [0, 1200.0, h / 2, 0], [0, 0, 1, 0]],
+                ),
+                np.float32,
+            )
+            calibs.append(calib)
+            metas.append({"center": center, "scale": scale,
+                          "width": w, "height": h})
+
+            if cfg.DATASET.RADAR_PC:
+                radar = None if radar_pcs is None else radar_pcs[i]
+                if radar is None:
+                    radar = np.zeros((18, 0), np.float32)
+                info_full = dict(info)
+                info_full.setdefault("width", w)
+                info_full.setdefault("height", h)
+                info_full.setdefault("calib", calib.tolist())
+                info_full.setdefault(
+                    "camera_intrinsic", calib[:3, :3].tolist()
+                )
+                _, _, pc_dep, _ = prepare_radar_points(
+                    radar, info_full, cfg, trans_out, False, w, h
+                )
+                batch_pc.append(pc_dep)
+
+        batch = {
+            "image": np.stack(batch_imgs),
+            "calib": np.stack(calibs),
+        }
+        if batch_pc:
+            batch["pc_dep"] = np.stack(batch_pc)
+        return batch, metas
+
+    def _forward(self, variables, image, pc_dep, calib, trans_inv):
+        """Model forward + decode + postprocess as ONE compiled program."""
+        cfg = self.config
+        outputs = self.model.apply(variables, image, None, pc_dep, calib, train=False)
+        dets = fusion_decode(
+            outputs, cfg.MODEL.OUTPUT_SIZE, k=cfg.MODEL.K, norm2d=cfg.MODEL.NORM_2D
+        )
+        processed = post_process(dets, trans_inv, cfg.MODEL.OUTPUT_SIZE, calib)
+        extras = {
+            "depthMap": outputs[0].get("depthMap"),
+            "pc_hm": outputs[0].get("pc_hm"),
+        }
+        return processed, {k: v for k, v in extras.items() if v is not None}
+
+    def process(self, batch, metas):
+        oh, ow = self.config.MODEL.OUTPUT_SIZE
+        center, scale = metas[0]["center"], metas[0]["scale"]
+        trans_inv = get_affine_transform(
+            center, scale, 0, (ow, oh), inverse=True
+        ).astype(np.float32)
+        return self._infer(
+            self.variables,
+            jnp.asarray(batch["image"]),
+            jnp.asarray(batch["pc_dep"]) if "pc_dep" in batch else None,
+            jnp.asarray(batch["calib"]),
+            jnp.asarray(trans_inv),
+        )
+
+    def merge_outputs(self, processed) -> Dict[int, List[dict]]:
+        npx = jax.tree.map(np.asarray, processed)
+        return detections_to_results(
+            npx, list(range(len(npx["scores"]))), conf_thresh=-1.0
+        )
+
+    # ------------------------------------------------------------------ run
+    def run(self, images, img_infos=None, radar_pcs=None) -> Dict:
+        t = self.timer
+        t.start("total")
+
+        t.start("load")
+        imgs = self.load_data(images)
+        t.stop("load")
+
+        t.start("preprocess")
+        batch, metas = self.pre_process(imgs, img_infos, radar_pcs)
+        t.stop("preprocess")
+
+        t.start("net")
+        processed, extras = self.process(batch, metas)
+        t.stop("net", processed)
+
+        t.start("merge")
+        results = self.merge_outputs(processed)
+        t.stop("merge")
+
+        t.stop("total")
+        return {
+            "results": results,
+            "metas": metas,
+            "extras": jax.tree.map(np.asarray, extras),
+            "times": t.summary(),
+        }
