@@ -40,6 +40,7 @@ class CenterFusionDLA(nn.Module):
     one_hot_pc: bool = False
     max_pc_dist: float = 60.0
     top_k: int = 100
+    norm_eval: bool = False  # freeze backbone BN stats during training
     dtype: Any = jnp.float32
 
     def setup(self):
@@ -77,10 +78,15 @@ class CenterFusionDLA(nn.Module):
         return int(self.max_pc_dist) if self.one_hot_pc else 1
 
     def img2feats(self, x, train: bool = False):
-        feats = self.base(x, train=train)
-        pyramid = self.dla_up(feats, train=train)
+        # NORM_EVAL (tune-mode ConvBN, base_model.py:55-62): the backbone's
+        # BN keeps using (and not updating) running stats while heads train.
+        # XLA folds eval-mode BN into the convs, so the memory/compute win of
+        # the reference's fx graph rewrite falls out of jit for free.
+        bn_train = train and not self.norm_eval
+        feats = self.base(x, train=bn_train)
+        pyramid = self.dla_up(feats, train=bn_train)
         y = list(pyramid[: LAST_LEVEL - FIRST_LEVEL])
-        y = self.ida_up(y, 0, len(y), train=train)
+        y = self.ida_up(y, 0, len(y), train=bn_train)
         return y[-1]
 
     def __call__(self, image, pc_hm=None, pc_dep=None, calib=None, train: bool = False):
@@ -147,5 +153,6 @@ def build_model(config, dtype=None) -> CenterFusionDLA:
         one_hot_pc=bool(config.DATASET.ONE_HOT_PC),
         max_pc_dist=float(config.DATASET.MAX_PC_DIST),
         top_k=int(config.MODEL.K),
+        norm_eval=bool(config.MODEL.NORM_EVAL),
         dtype=dtype,
     )

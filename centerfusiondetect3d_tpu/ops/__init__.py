@@ -11,3 +11,6 @@ __all__ = [
     "get_pc_frustum_heatmap",
     "post_process",
 ]
+from .tta import flip_forward, SYMMETRIC_HEADS
+
+__all__ += ["flip_forward", "SYMMETRIC_HEADS"]

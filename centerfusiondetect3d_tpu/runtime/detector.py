@@ -136,7 +136,19 @@ class Detector:
     def _forward(self, variables, image, pc_dep, calib, trans_inv):
         """Model forward + decode + postprocess as ONE compiled program."""
         cfg = self.config
-        outputs = self.model.apply(variables, image, None, pc_dep, calib, train=False)
+        if cfg.TEST.FLIP_TEST:
+            from ..ops import flip_forward
+
+            outputs = flip_forward(
+                lambda v, im, hm, dep, cal: self.model.apply(
+                    v, im, hm, dep, cal, train=False
+                ),
+                variables, image, None, pc_dep, calib,
+            )
+        else:
+            outputs = self.model.apply(
+                variables, image, None, pc_dep, calib, train=False
+            )
         dets = fusion_decode(
             outputs, cfg.MODEL.OUTPUT_SIZE, k=cfg.MODEL.K, norm2d=cfg.MODEL.NORM_2D
         )

@@ -152,13 +152,26 @@ class Trainer:
     def _build_eval_step(self):
         cfg = self.config
         k = int(cfg.MODEL.K)
+        flip_test = bool(cfg.TEST.FLIP_TEST)
 
         def eval_step(state, batch, trans_mat):
-            outputs = self.model.apply(
-                {"params": state.params, "batch_stats": state.batch_stats},
-                batch["image"], batch.get("pc_hm"), batch.get("pc_dep"),
-                batch.get("calib"), train=False,
-            )
+            variables = {"params": state.params, "batch_stats": state.batch_stats}
+            if flip_test:
+                from ..ops import flip_forward
+
+                outputs = flip_forward(
+                    lambda v, im, hm, dep, cal: self.model.apply(
+                        v, im, hm, dep, cal, train=False
+                    ),
+                    variables, batch["image"], batch.get("pc_hm"),
+                    batch.get("pc_dep"), batch.get("calib"),
+                )
+            else:
+                outputs = self.model.apply(
+                    variables,
+                    batch["image"], batch.get("pc_hm"), batch.get("pc_dep"),
+                    batch.get("calib"), train=False,
+                )
             dets = fusion_decode(
                 outputs, cfg.MODEL.OUTPUT_SIZE, k=k, norm2d=cfg.MODEL.NORM_2D
             )
