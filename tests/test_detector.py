@@ -1,0 +1,60 @@
+import numpy as np
+import pytest
+
+from centerfusiondetect3d_tpu.config import load_config
+from centerfusiondetect3d_tpu.runtime.detector import Detector
+
+
+@pytest.fixture(scope="module")
+def detector():
+    cfg = load_config(
+        opts=["MODEL.INPUT_SIZE", "(64, 128)", "MODEL.DLA.NODE", "Conv",
+              "MODEL.K", "16", "MIXED_PRECISION", "False"],
+        num_classes=10,
+    )
+    return Detector(cfg)
+
+
+def test_detector_runs_on_ndarray(detector, rng):
+    img = (rng.rand(240, 320, 3) * 255).astype(np.uint8)
+    radar = np.zeros((18, 20), np.float32)
+    radar[2] = rng.rand(20) * 40 + 2
+    ret = detector.run(img, radar_pcs=[radar])
+    assert 0 in ret["results"]
+    assert set(detector.timer.summary()) >= {"load", "preprocess", "net", "merge", "total"}
+    # fields of any returned detection are complete
+    for it in ret["results"][0]:
+        assert {"class", "score", "dimension", "location", "yaw"} <= set(it)
+
+
+def test_detector_runs_on_path(detector, rng, tmp_path):
+    import cv2
+
+    path = tmp_path / "img.jpg"
+    cv2.imwrite(str(path), (rng.rand(240, 320, 3) * 255).astype(np.uint8))
+    ret = detector.run(str(path), radar_pcs=[np.zeros((18, 0), np.float32)])
+    assert 0 in ret["results"]
+
+
+def test_detector_missing_file_raises(detector):
+    with pytest.raises(FileNotFoundError):
+        detector.run("/nonexistent/img.jpg")
+
+
+def test_metrics_logger(tmp_path):
+    import json
+
+    from centerfusiondetect3d_tpu.utils.metrics_logger import MetricsLogger
+
+    ml = MetricsLogger(str(tmp_path), run_id="r1")
+    ml.scalars({"loss": 1.5}, step=3, prefix="train/")
+    ml.alert("hot")
+    ml.summary({"nds": 0.45})
+    lines = [json.loads(l) for l in open(tmp_path / "metrics.jsonl")]
+    assert lines[0]["train/loss"] == 1.5 and lines[0]["step"] == 3
+    assert lines[1]["kind"] == "alert"
+    state = json.load(open(tmp_path / "run_state.json"))
+    assert state["run_id"] == "r1" and state["summary"]["nds"] == 0.45
+    # resume keeps the run id
+    ml2 = MetricsLogger(str(tmp_path), resume=True)
+    assert ml2.run_id == "r1"
