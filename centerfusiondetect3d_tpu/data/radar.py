@@ -155,6 +155,7 @@ def process_point_cloud(pc_2d, pc_3d, config, trans_out, calib):
             pc_3d, calib, trans_out, (out_h, out_w), config.DATASET.PILLAR_DIMS
         )
 
+    boxes = np.zeros((n, 4), np.int32)
     for i in range(n):
         x, y, depth = transformed[0, i], transformed[1, i], transformed[2, i]
         if method == "pillars":
@@ -173,11 +174,30 @@ def process_point_cloud(pc_2d, pc_3d, config, trans_out, calib):
             box = [yi - top, yi + bottom, xi - left, xi + right]
         else:
             raise ValueError(f"invalid PC_ROI_METHOD {method!r}")
-        box = np.round(box).astype(np.int32)
-        depth_map = draw_pc_heat(
-            depth_map, box, depth, max_dist, one_hot, pc_3d[:, i]
-        )
+        boxes[i] = np.round(box).astype(np.int32)
+
+    depths = transformed[2, :n].astype(np.float32)
+    vels = pc_3d[8:10, :n].astype(np.float32) if pc_3d.shape[0] > 9 else np.zeros((2, n), np.float32)
+    if not _native_paint(depth_map, boxes, depths, vels, max_dist, one_hot):
+        for i in range(n):
+            depth_map = draw_pc_heat(
+                depth_map, boxes[i], depths[i], max_dist, one_hot, pc_3d[:, i]
+            )
     return transformed, pc_3d, depth_map
+
+
+def _native_paint(depth_map, boxes, depths, vels, max_dist, one_hot) -> bool:
+    """Overwrite-ordered rectangle paint via the C++ kernel when available."""
+    from ..native import paint_rects, paint_rects_channels
+
+    values = np.stack([depths, vels[0], vels[1]], axis=1).astype(np.float32)
+    if not one_hot:
+        return paint_rects(depth_map, boxes, values)
+    d_layer = depths.astype(np.int32)
+    channels = np.stack(
+        [d_layer, d_layer + max_dist, d_layer + 2 * max_dist], axis=1
+    ).astype(np.int32)
+    return paint_rects_channels(depth_map, boxes, values, channels)
 
 
 def prepare_radar_points(radar_pc: np.ndarray, img_info: dict, config,
