@@ -49,7 +49,7 @@ def deform_conv2d(x, offset, mask, weight, bias=None):
     offset = offset.reshape(b, hw, 2 * kh * kw)
     mask = mask.reshape(b, hw, kh * kw).astype(x.dtype)
 
-    taps = []
+    out = None
     for k in range(kh * kw):
         i, j = divmod(k, kw)
         # +1: coordinates in the padded frame
@@ -76,16 +76,19 @@ def deform_conv2d(x, offset, mask, weight, bias=None):
                 wgt = jnp.where(valid[..., None], wgt, 0)
                 term = vals * wgt
                 acc = term if acc is None else acc + term
-        taps.append(acc * mask[..., k : k + 1])
+        tap = acc * mask[..., k : k + 1]
 
-    stacked = jnp.concatenate(taps, axis=-1)  # (B, HW, 9*C)
-    w_mat = weight.reshape(kh * kw * c, o).astype(x.dtype)
-    out = jax.lax.dot_general(
-        stacked,
-        w_mat,
-        dimension_numbers=(((2,), (0,)), ((), ())),
-        preferred_element_type=jnp.float32,
-    )
+        # accumulate per-tap (C, O) matmuls instead of materializing the
+        # (B, HW, 9C) concat - same MXU FLOPs, 9x smaller intermediate, and
+        # batch-24 memory scaling stays linear
+        term = jax.lax.dot_general(
+            tap,
+            weight[i, j].astype(x.dtype),
+            dimension_numbers=(((2,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )
+        out = term if out is None else out + term
+
     if bias is not None:
         out = out + bias
     return out.reshape(b, h, w, o).astype(x.dtype)

@@ -57,6 +57,9 @@ class Trainer:
         self.logger = logger or logging.getLogger("cfd3d.trainer")
         self.mesh = make_mesh(config.TPU.MESH_DATA, config.TPU.MESH_MODEL)
         self.health = DeviceHealthMonitor(logger=self.logger)
+        from ..utils.metrics_logger import MetricsLogger
+
+        self.metrics = MetricsLogger(output_dir, resume=bool(config.TRAIN.RESUME))
         self.history: Dict[str, Dict[str, list]] = {"train": {}, "val": {}}
         self.start_epoch = 0
         self.state: Optional[TrainState] = None
@@ -137,6 +140,11 @@ class Trainer:
             )
             for k, m in meters.items():
                 self.history["train"].setdefault(k, []).append(m.avg)
+            self.metrics.scalars(
+                {k: m.avg for k, m in meters.items()}, step=epoch, prefix="train/"
+            )
+            self.metrics.scalars({"lr": lr, "epoch_sec": time.time() - t_epoch},
+                                 step=epoch)
 
             ckpt_dir = os.path.join(self.output_dir, "ckpts")
             if (epoch + 1) % cfg.TRAIN.SAVE_INTERVALS == 0 or epoch + 1 == cfg.TRAIN.EPOCHS:
@@ -234,12 +242,19 @@ class Trainer:
         self.logger.info(
             "val %s", " ".join(f"{k} {m.avg:.4f}" for k, m in sorted(meters.items()))
         )
+        self.metrics.scalars({k: m.avg for k, m in meters.items()}, prefix="val/")
 
         if self.dataset_val is not None and hasattr(self.dataset_val, "run_eval"):
             try:
                 _, summaries = self.dataset_val.run_eval(results, self.output_dir)
                 if summaries:
                     self.dataset_val.log_valid_result(self.logger, summaries)
+                    best = summaries.get("range_all", {})
+                    self.metrics.scalars(
+                        {"mAP": best.get("mean_ap", 0.0),
+                         "NDS": best.get("nd_score", 0.0)}, prefix="val/"
+                    )
+                    self.metrics.summary({"range_all": best})
             except Exception as e:  # scoring is best-effort (safe_run analogue)
                 self.logger.warning("run_eval failed: %s", e)
         return results
