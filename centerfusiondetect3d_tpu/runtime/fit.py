@@ -126,8 +126,10 @@ class Trainer:
             meters = defaultdict(AverageMeter)
             t_epoch = time.time()
             loader.epoch = epoch
-            for i, batch in enumerate(loader):
-                batch = shard_batch(batch, self.mesh)
+            from ..data.pipeline import device_prefetch
+
+            batches = device_prefetch(loader, self.mesh, size=cfg.TPU.PREFETCH)
+            for i, batch in enumerate(batches):
                 timer.start("step")
                 self.state, metrics = step(self.state, batch, lr)
                 timer.stop("step", metrics["total"])
