@@ -35,7 +35,8 @@ EXTREME_KEYWORDS = ("night", "rain")
 
 
 def evaluate_boxes(gt_boxes: EvalBoxes, pred_boxes: EvalBoxes,
-                   config: Optional[DetectionConfig] = None) -> Dict:
+                   config: Optional[DetectionConfig] = None,
+                   return_curves: bool = False) -> Dict:
     """Full metric computation for one (already filtered) box set."""
     config = config or DetectionConfig()
     classes = sorted(config.class_range.keys())
@@ -73,7 +74,7 @@ def evaluate_boxes(gt_boxes: EvalBoxes, pred_boxes: EvalBoxes,
     }
     nds = nd_score(mean_ap, tp_errors, config.mean_ap_weight)
 
-    return {
+    out = {
         "label_aps": {c: {str(k): v for k, v in a.items()} for c, a in label_aps.items()},
         "mean_dist_aps": mean_dist_aps,
         "mean_ap": mean_ap,
@@ -81,6 +82,28 @@ def evaluate_boxes(gt_boxes: EvalBoxes, pred_boxes: EvalBoxes,
         "tp_errors": tp_errors,
         "nd_score": nds,
     }
+    if return_curves:
+        # PR + TP curves per (class, dist_th) for rendering (the reference
+        # writes PR/TP plots and an mAR.csv - evaluate.py:265-315)
+        out["curves"] = {
+            f"{cls}:{d}": {
+                "recall": md["recall"].tolist(),
+                "precision": md["precision"].tolist(),
+                "confidence": md["confidence"].tolist(),
+            }
+            for (cls, d), md in metric_data.items()
+        }
+        out["max_recall"] = {
+            cls: float(
+                metric_data[(cls, config.dist_th_tp)]["recall"][
+                    np.nonzero(metric_data[(cls, config.dist_th_tp)]["confidence"])[0].max()
+                ]
+            )
+            if np.any(metric_data[(cls, config.dist_th_tp)]["confidence"])
+            else 0.0
+            for cls in classes
+        }
+    return out
 
 
 class DetectionEval:
@@ -134,13 +157,25 @@ class DetectionEval:
                 scene_filter = self._scene_filter(extreme)
                 gt_f = filter_eval_boxes(self.gt_boxes, cfg, scene_filter)
                 pred_f = filter_eval_boxes(self.pred_boxes, cfg, scene_filter)
-                metrics = evaluate_boxes(gt_f, pred_f, cfg)
+                full = name == "all" and not extreme
+                metrics = evaluate_boxes(gt_f, pred_f, cfg, return_curves=full)
 
                 variant = f"range_{name}{'_extreme' if extreme else ''}"
                 out_dir = os.path.join(self.output_dir, variant)
                 os.makedirs(out_dir, exist_ok=True)
+                curves = metrics.pop("curves", None)
+                max_recall = metrics.pop("max_recall", None)
                 with open(os.path.join(out_dir, "metrics_summary.json"), "w") as f:
                     json.dump(_jsonable(metrics), f, indent=2)
+                if curves is not None:
+                    with open(os.path.join(out_dir, "pr_curves.json"), "w") as f:
+                        json.dump(_jsonable(curves), f)
+                if max_recall is not None:
+                    # mAR.csv analogue (reference evaluate.py writes mAR.csv)
+                    with open(os.path.join(out_dir, "mAR.csv"), "w") as f:
+                        f.write("class,max_recall\n")
+                        for cls, r in max_recall.items():
+                            f.write(f"{cls},{r:.4f}\n")
                 summaries[variant] = metrics
                 if self.verbose:
                     print(f"{variant}: mAP={metrics['mean_ap']:.4f} "

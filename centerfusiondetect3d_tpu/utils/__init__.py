@@ -1,5 +1,7 @@
 from . import quaternion
 from .observability import (
+    trace_profile,
+    plot_lr_schedule,
     create_logger,
     AverageMeter,
     StageTimer,

@@ -158,6 +158,50 @@ def estimate_cost(fn, *args) -> Dict[str, float]:
     }
 
 
+def trace_profile(out_dir: str):
+    """Context manager: capture a jax.profiler device trace under out_dir
+    (jax.profiler analogue of the reference's per-stage CUDA timers)."""
+    import contextlib
+
+    import jax
+
+    @contextlib.contextmanager
+    def ctx():
+        path = os.path.join(out_dir, "profile")
+        os.makedirs(path, exist_ok=True)
+        with jax.profiler.trace(path):
+            yield path
+
+    return ctx()
+
+
+def plot_lr_schedule(config, out_path: str, start_epoch: int = 0):
+    """Plot the full LR schedule (learningRateTest analogue,
+    modelWithLoss.py:364-432)."""
+    from ..training.schedule import learning_rate
+
+    epochs = list(range(start_epoch, config.TRAIN.EPOCHS))
+    lrs = [learning_rate(config, e, start_epoch) for e in epochs]
+    try:
+        import matplotlib
+
+        matplotlib.use("Agg")
+        import matplotlib.pyplot as plt
+
+        fig, ax = plt.subplots(figsize=(8, 4))
+        ax.plot(epochs, lrs)
+        ax.set_yscale("log")
+        ax.set_xlabel("epoch")
+        ax.set_ylabel("lr")
+        ax.set_title(f"{config.TRAIN.LR_SCHEDULER} schedule")
+        fig.tight_layout()
+        fig.savefig(out_path)
+        plt.close(fig)
+    except Exception:
+        pass
+    return list(zip(epochs, lrs))
+
+
 def plot_history(history: Dict[str, Dict[str, list]], out_dir: str):
     """Loss curves per head for train/val (utils/utils.py:235-322)."""
     try:
