@@ -43,7 +43,11 @@ def learning_rate(config, epoch: int, start_epoch: int = 0) -> float:
 
     if sched == "CLR":
         local_defreeze = max(defreeze - start_epoch, 0)
-        # constant segments for LR steps past defreeze
+        # NOTE (torch-golden-verified): CyclicLR overwrites the optimizer's
+        # initial_lr with base_lr = LR/15, so the later ConstantLR segments
+        # compute from LR/15, not from the configured LR, and any resume
+        # LR-step folding is discarded entirely.
+        base = lr / 15.0
         past = [s for s in steps if s > defreeze]
         seg_start = None
         k = 0
@@ -51,16 +55,19 @@ def learning_rate(config, epoch: int, start_epoch: int = 0) -> float:
             if epoch >= s:
                 seg_start, k = s, i + 1
         if seg_start is not None:
-            return start_lr * (0.1 ** k)
+            return base * (0.1 ** k)
         if e < local_defreeze:
-            return start_lr * _clr_factor(e, "triangular")
-        return start_lr * _clr_factor(e - local_defreeze, "triangular2")
+            return lr * _clr_factor(e, "triangular")
+        return lr * _clr_factor(e - local_defreeze, "triangular2")
 
     if sched == "StepLR":
         warm = int(config.TRAIN.WARM_EPOCHS)
         # segment 1: initial warmup
         if warm and e < warm:
             return start_lr * (0.5 ** (warm - e))
+        # NOTE (torch-golden-verified): MultiStepLR fires a milestone only at
+        # local epochs >= 1, so milestones folded away by a resume (local
+        # position <= 0) never decay again - count 0 < m <= t only.
         if defreeze > start_epoch:
             local_defreeze = defreeze - start_epoch
             # segment 2: multi-step decay during the frozen phase
@@ -69,7 +76,7 @@ def learning_rate(config, epoch: int, start_epoch: int = 0) -> float:
                 n = sum(
                     1
                     for s in steps
-                    if s < defreeze and (s - start_epoch - warm) <= t
+                    if s < defreeze and 0 < (s - start_epoch - warm) <= t
                 )
                 return start_lr * (0.1 ** n)
             # segment 3: re-warmup right after defreeze (decay resets)
@@ -83,7 +90,7 @@ def learning_rate(config, epoch: int, start_epoch: int = 0) -> float:
         n = sum(
             1
             for s in steps
-            if s >= defreeze and (s - warm - max(defreeze, start_epoch)) <= t
+            if s >= defreeze and 0 < (s - warm - max(defreeze, start_epoch)) <= t
         )
         return start_lr * (0.1 ** n)
 

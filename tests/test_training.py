@@ -59,8 +59,9 @@ def test_clr_triangular():
     np.testing.assert_allclose(lr(0), 1e-3 / 15)
     np.testing.assert_allclose(lr(5), 1e-3)  # peak of triangle
     np.testing.assert_allclose(lr(10), 1e-3 / 15)  # back to base
-    # constant 0.1 segment after LR step (> defreeze=0)
-    np.testing.assert_allclose(lr(55), 1e-4)
+    # constant 0.1 segment after LR step computes from base_lr = LR/15
+    # (CyclicLR overwrites initial_lr; torch-golden-verified)
+    np.testing.assert_allclose(lr(55), 1e-3 / 15 * 0.1)
 
 
 def test_resume_folds_lr_steps():
@@ -69,10 +70,9 @@ def test_resume_folds_lr_steps():
               "TRAIN.WARM_EPOCHS", "0"],
         num_classes=10,
     )
-    # Faithful reference quirk (modelWithLoss.py:61-63 + 175-186): a milestone
-    # already passed at resume is folded into start_lr AND still counted as a
-    # (negative) MultiStepLR milestone, so it decays twice.
-    np.testing.assert_allclose(learning_rate(cfg, 100, start_epoch=100), 2.5e-6)
+    # torch-golden-verified: a milestone already passed at resume is folded
+    # into start_lr once; MultiStepLR never fires negative milestones.
+    np.testing.assert_allclose(learning_rate(cfg, 100, start_epoch=100), 2.5e-5)
 
 
 # -------------------------------------------------------------- train step
