@@ -92,6 +92,7 @@ def default_config() -> ConfigNode:
     c.TEST.BATCH_SIZE = 1
     c.TEST.OFFICIAL_EVAL = False
     c.TEST.FLIP_TEST = False  # fused flip-averaging TTA (extension over reference)
+    c.TEST.MULTI_SCALE = ()  # e.g. (0.75, 1.0, 1.25): multi-scale TTA scales
 
     # --- TPU-native runtime options (replace GPUS/DDP/CUDNN sections) -------
     c.TPU = ConfigNode()

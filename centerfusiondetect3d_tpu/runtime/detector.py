@@ -179,14 +179,65 @@ class Detector:
             npx, list(range(len(npx["scores"]))), conf_thresh=-1.0
         )
 
+    # ------------------------------------------------------- multi-scale TTA
+    def _scaled_detector(self, scale: float) -> "Detector":
+        """A Detector compiled for a scaled input resolution (cached)."""
+        if not hasattr(self, "_scaled"):
+            self._scaled: Dict[float, Detector] = {}
+        if scale not in self._scaled:
+            h, w = self.config.MODEL.INPUT_SIZE
+            cfg = self.config.clone()
+            cfg.defrost()
+            cfg.MODEL.INPUT_SIZE = (
+                max(32, int(round(h * scale / 32)) * 32),
+                max(32, int(round(w * scale / 32)) * 32),
+            )
+            cfg.MODEL.OUTPUT_SIZE = (
+                cfg.MODEL.INPUT_SIZE[0] // 4, cfg.MODEL.INPUT_SIZE[1] // 4
+            )
+            cfg.MODEL.PYRAMID_OUT_SIZE = (tuple(cfg.MODEL.OUTPUT_SIZE),)
+            cfg.TEST.MULTI_SCALE = ()
+            cfg.freeze()
+            self._scaled[scale] = Detector(
+                cfg, variables=self.variables, batch_size=self.batch_size
+            )
+        return self._scaled[scale]
+
+    def _merge_scales(self, per_scale_results) -> Dict[int, List[dict]]:
+        """Concatenate per-scale detections (already in original-image/camera
+        coordinates) and keep the top-K by score per image."""
+        k = int(self.config.MODEL.K)
+        merged: Dict[int, List[dict]] = {}
+        for results in per_scale_results:
+            for img_id, items in results.items():
+                merged.setdefault(img_id, []).extend(items)
+        for img_id in merged:
+            merged[img_id].sort(key=lambda it: -it["score"])
+            merged[img_id] = merged[img_id][:k]
+        return merged
+
     # ------------------------------------------------------------------ run
     def run(self, images, img_infos=None, radar_pcs=None) -> Dict:
+        scales = tuple(self.config.TEST.MULTI_SCALE or ())
+        self.timer.start("load")
+        imgs = self.load_data(images)
+        self.timer.stop("load")
+        if scales:
+            per_scale, base_ret = [], None
+            for s in scales:
+                det = self if abs(s - 1.0) < 1e-6 else self._scaled_detector(s)
+                ret = det._run_single(imgs, img_infos, radar_pcs)
+                per_scale.append(ret["results"])
+                if abs(s - 1.0) < 1e-6 or base_ret is None:
+                    base_ret = ret
+            base_ret["results"] = self._merge_scales(per_scale)
+            return base_ret
+        return self._run_single(imgs, img_infos, radar_pcs)
+
+    def _run_single(self, imgs: List[np.ndarray], img_infos=None,
+                    radar_pcs=None) -> Dict:
         t = self.timer
         t.start("total")
-
-        t.start("load")
-        imgs = self.load_data(images)
-        t.stop("load")
 
         t.start("preprocess")
         batch, metas = self.pre_process(imgs, img_infos, radar_pcs)

@@ -58,3 +58,22 @@ def test_metrics_logger(tmp_path):
     # resume keeps the run id
     ml2 = MetricsLogger(str(tmp_path), resume=True)
     assert ml2.run_id == "r1"
+
+
+def test_detector_multi_scale(rng):
+    from centerfusiondetect3d_tpu.config import load_config as _lc
+
+    cfg = _lc(
+        opts=["MODEL.INPUT_SIZE", "(64, 128)", "MODEL.DLA.NODE", "Conv",
+              "MODEL.K", "8", "TEST.MULTI_SCALE", "(0.5, 1.0)",
+              "MIXED_PRECISION", "False"],
+        num_classes=10,
+    )
+    det = Detector(cfg)
+    img = (rng.rand(240, 320, 3) * 255).astype(np.uint8)
+    ret = det.run(img, radar_pcs=[np.zeros((18, 0), np.float32)])
+    assert 0 in ret["results"]
+    assert len(ret["results"][0]) <= cfg.MODEL.K
+    # the scaled detector was created and compiled at a 32-aligned size
+    assert 0.5 in det._scaled
+    assert det._scaled[0.5].config.MODEL.INPUT_SIZE == (32, 64)
