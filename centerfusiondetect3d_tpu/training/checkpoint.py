@@ -222,18 +222,55 @@ def _resolve_out_index(torch_key: str, head_conv: Dict[str, list]) -> str:
     return torch_key.replace("__OUT__", str(idx))
 
 
+# legacy upstream-CenterFusion name aliases handled by the reference's
+# elastic loader (model/model.py:165-250 toggleWeightName)
+_LEGACY_HEAD_ALIASES = {
+    "dep_sec.": "detectHead_0.depth2.",
+    "rot_sec.": "detectHead_0.rotation2.",
+    "hm.": "detectHead_0.heatmap.",
+    "wh.": "detectHead_0.widthHeight.",
+    "dep.": "detectHead_0.depth.",
+    "dim.": "detectHead_0.dimension.",
+    "rot.": "detectHead_0.rotation.",
+    "amodel_offset.": "detectHead_0.amodal_offset.",
+}
+_LEGACY_HEADS = (
+    "reg", "depth2", "rotation2", "heatmap", "widthHeight", "depth", "rotation",
+    "dimension", "amodal_offset", "nuscenes_att", "velocity",
+)
+
+
+def modernize_torch_key(name: str) -> str:
+    """Map legacy CenterFusion state_dict names onto current reference names."""
+    # old DCN param layout: <up>.<node>_N.conv.{weight,bias} -> .{weight,bias}
+    if re.match(r".*_up.*_\d\.conv\.(weight|bias)$", name):
+        name = name.replace("conv.weight", "weight").replace("conv.bias", "bias")
+    name = name.replace(".actf.", ".activation.")
+    name = name.replace("conv.conv_offset_mask", "conv_offset_mask")
+    for old, new in _LEGACY_HEAD_ALIASES.items():
+        if name.startswith(old):
+            return new + name[len(old):]
+    # oldv2: bare head prefixes without the detectHead_0 module
+    for head in _LEGACY_HEADS:
+        if name.startswith(head + "."):
+            return "detectHead_0." + name
+    return name
+
+
 def import_torch_checkpoint(state_dict: Dict[str, np.ndarray], params,
                             batch_stats, head_conv=None, strict: bool = False):
     """Fill a flax (params, batch_stats) tree pair from a torch state_dict.
 
-    state_dict values may be torch tensors or numpy arrays. Returns
-    (params, batch_stats, report) where report lists loaded/skipped keys.
+    state_dict values may be torch tensors or numpy arrays; legacy upstream
+    CenterFusion names are modernized first. Returns (params, batch_stats,
+    report) where report lists loaded/skipped keys.
     """
     head_conv = dict(head_conv or {})
     sd = {}
     for k, v in state_dict.items():
         k = k[7:] if k.startswith("module.") else k
         k = k[6:] if k.startswith("model.") else k
+        k = modernize_torch_key(k)
         sd[k] = np.asarray(v.detach().cpu().numpy() if hasattr(v, "detach") else v)
 
     report = {"loaded": [], "missing": [], "shape_mismatch": []}

@@ -139,3 +139,30 @@ def test_import_strips_prefixes(model_setup):
         sd_prefixed, variables["params"], variables["batch_stats"], head_conv
     )
     assert not report["missing"]
+
+
+def test_import_legacy_names(model_setup):
+    """Old upstream-CenterFusion head names load into the current tree."""
+    cfg, model, variables = model_setup
+    head_conv = dict(cfg.head_conv)
+    sd = export_torch_state_dict(
+        variables["params"], variables["batch_stats"], head_conv
+    )
+    legacy = {}
+    for k, v in sd.items():
+        lk = k
+        lk = lk.replace("detectHead_0.depth2.", "dep_sec.")
+        lk = lk.replace("detectHead_0.rotation2.", "rot_sec.")
+        lk = lk.replace("detectHead_0.heatmap.", "hm.")
+        lk = lk.replace("detectHead_0.widthHeight.", "wh.")
+        lk = lk.replace(".activation.", ".actf.")
+        import re as _re
+
+        if _re.match(r".*_up.*_\d\.(weight|bias)$", lk):
+            lk = lk[: lk.rfind(".")] + ".conv." + lk[lk.rfind(".") + 1:]
+        legacy[lk] = v
+    _, _, report = import_torch_checkpoint(
+        legacy, variables["params"], variables["batch_stats"], head_conv
+    )
+    assert not report["missing"], report["missing"][:8]
+    assert not report["shape_mismatch"]
