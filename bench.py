@@ -67,9 +67,18 @@ def main():
     for _ in range(WARMUP):
         np.asarray(infer(variables, image, pc_dep, calib)["scores"])
 
+    # pipelined throughput: keep 2 steps in flight so the host-side result
+    # fetch overlaps device compute (profiling shows the transfer latency
+    # otherwise serializes after each step); every result is still fetched.
+    depth = 2
     t0 = time.perf_counter()
+    inflight = []
     for _ in range(ITERS):
-        np.asarray(infer(variables, image, pc_dep, calib)["scores"])
+        inflight.append(infer(variables, image, pc_dep, calib)["scores"])
+        if len(inflight) > depth:
+            np.asarray(inflight.pop(0))
+    for r in inflight:
+        np.asarray(r)
     dt = time.perf_counter() - t0
 
     fps = BATCH * ITERS / dt

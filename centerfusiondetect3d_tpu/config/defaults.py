@@ -101,4 +101,6 @@ def default_config() -> ConfigNode:
     c.TPU.PREFETCH = 2  # host->device prefetch depth
     c.TPU.DONATE = True
     c.TPU.PLATFORM = ""  # force a jax platform (e.g. 'cpu'); '' = default
+    c.TPU.DEBUG_NANS = False  # jax nan-guard (torch anomaly-mode analogue)
+    c.TPU.PROFILE = False  # capture a jax.profiler trace of the first epoch
     return c

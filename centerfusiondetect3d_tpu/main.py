@@ -59,6 +59,10 @@ def main(argv=None):
         import jax
 
         jax.config.update("jax_platforms", config.TPU.PLATFORM)
+    if config.TPU.DEBUG_NANS:
+        import jax
+
+        jax.config.update("jax_debug_nans", True)
     dataset_cls = get_dataset(config.DATASET.DATASET)
     logger, out_dir = create_logger("output", config.NAME)
     config = finalize_config(

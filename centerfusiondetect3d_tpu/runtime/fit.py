@@ -129,6 +129,11 @@ class Trainer:
             from ..data.pipeline import device_prefetch
 
             batches = device_prefetch(loader, self.mesh, size=cfg.TPU.PREFETCH)
+            profiling = bool(cfg.TPU.PROFILE) and epoch == self.start_epoch
+            if profiling:
+                import jax.profiler
+
+                jax.profiler.start_trace(os.path.join(self.output_dir, "profile"))
             for i, batch in enumerate(batches):
                 timer.start("step")
                 self.state, metrics = step(self.state, batch, lr)
@@ -136,6 +141,8 @@ class Trainer:
                 for k, v in metrics.items():
                     meters[k].update(float(v))
                 self.health.check()
+            if profiling:
+                jax.profiler.stop_trace()
             msg = " ".join(f"{k} {m.avg:.4f}" for k, m in sorted(meters.items()))
             self.logger.info(
                 "epoch %d lr %.2e (%.1fs) %s", epoch, lr, time.time() - t_epoch, msg
