@@ -10,7 +10,7 @@ extension required.
 from __future__ import annotations
 
 import json
-from typing import Any, Dict, List
+from typing import Dict, List
 
 
 class CocoReader:

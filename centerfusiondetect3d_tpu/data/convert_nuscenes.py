@@ -21,7 +21,6 @@ import argparse
 import json
 import os
 import pickle
-import struct
 from typing import Dict, List, Optional
 
 import numpy as np

@@ -18,7 +18,6 @@ from __future__ import annotations
 import numpy as np
 
 from ..geometry import gaussian_radius, get_3d_box, project_3d_points
-from .transforms import warp_image  # noqa: F401  (re-export convenience)
 
 
 def map_pointcloud_to_image(points: np.ndarray, cam_intrinsic: np.ndarray,

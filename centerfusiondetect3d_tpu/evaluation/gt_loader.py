@@ -12,11 +12,11 @@ from __future__ import annotations
 
 import json
 import os
-from typing import Dict, Optional, Tuple
+from typing import Dict, Tuple
 
 import numpy as np
 
-from .detection import EvalBox, EvalBoxes, DETECTION_NAMES
+from .detection import EvalBox, EvalBoxes
 
 # devkit category -> detection name mapping
 _DETECTION_MAPPING = {

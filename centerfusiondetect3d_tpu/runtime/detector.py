@@ -11,8 +11,7 @@ once.
 
 from __future__ import annotations
 
-import os
-from typing import Dict, List, Optional, Sequence, Union
+from typing import Dict, List
 
 import numpy as np
 
