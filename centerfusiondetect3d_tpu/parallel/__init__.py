@@ -19,3 +19,6 @@ __all__ = [
     "DATA_AXIS",
     "MODEL_AXIS",
 ]
+from .distributed import initialize, is_main_process, all_gather_detections
+
+__all__ += ["initialize", "is_main_process", "all_gather_detections"]

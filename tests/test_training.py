@@ -193,3 +193,15 @@ def test_data_parallel_train_step(tiny_setup, devices8):
     # params stay replicated, batch stays sharded
     p = jax.tree.leaves(new_state.params)[0]
     assert len(p.sharding.device_set) == 8
+
+
+def test_all_gather_detections_single_process():
+    import jax.numpy as jnp
+
+    from centerfusiondetect3d_tpu.parallel import all_gather_detections, is_main_process
+
+    dets = {"scores": jnp.ones((2, 4)), "classIds": jnp.zeros((2, 4))}
+    out = all_gather_detections(dets)
+    assert out["scores"].shape == (2, 4)
+    assert isinstance(out["scores"], np.ndarray)
+    assert is_main_process()
