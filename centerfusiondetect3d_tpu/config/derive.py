@@ -29,6 +29,12 @@ def update_config(config: ConfigNode, cfg_file: str | None = None, opts=()) -> C
         if config.MODEL.FRUSTUM and config.MODEL.FUSION_STRATEGY != "middle":
             warnings.warn("Frustum association needs middle fusion; disabling frustum.")
             config.MODEL.FRUSTUM = False
+        if config.MODEL.FRUSTUM and config.DATASET.ONE_HOT_PC:
+            # the reference hard-asserts this combination (detectHeads.py:48)
+            raise ValueError(
+                "ONE_HOT_PC is incompatible with frustum association "
+                "(frustum heatmaps are [depth, vx, vz] 3-channel)"
+            )
         # pillar/heatmap rasterization overwrites per point; keep nearest point
         # drawn last so it wins (reference: PC_REVERSE, config/utils.py:31-33)
         config.DATASET.PC_REVERSE = config.DATASET.PC_ROI_METHOD != "points"

@@ -249,3 +249,48 @@ def test_deformconv_model_forward(rng):
     assert y["heatmap"].shape == (1, 16, 16, 3)
     # zero-init offsets: finite, reasonable outputs
     assert np.isfinite(np.asarray(y["depthMap"])).all()
+
+
+def test_early_fusion_model(rng):
+    cfg = load_config(
+        opts=["MODEL.INPUT_SIZE", "(64, 128)", "MODEL.DLA.NODE", "Conv",
+              "MODEL.FUSION_STRATEGY", "'early'", "MODEL.FRUSTUM", "False",
+              "MIXED_PRECISION", "False"],
+        num_classes=10,
+    )
+    # early fusion: no secondary heads derived
+    assert "depth2" not in cfg.heads
+    model = build_model(cfg)
+    oh, ow = cfg.MODEL.OUTPUT_SIZE
+    image = jnp.asarray(rng.randn(1, 64, 128, 3).astype(np.float32))
+    pc = jnp.asarray(np.abs(rng.randn(1, oh, ow, 3)).astype(np.float32))
+    calib = jnp.asarray(np.array([[[120.0, 0, ow / 2, 0], [0, 120.0, oh / 2, 0],
+                                   [0, 0, 1, 0]]], np.float32))
+    variables = model.init(jax.random.PRNGKey(0), image, pc, pc, calib)
+    y = model.apply(variables, image, pc, pc, calib)[0]
+    assert y["heatmap"].shape == (1, oh, ow, 10)
+    # stem conv consumed 3 image + 3 radar channels
+    stem = variables["params"]["base"]["base_layer"]["conv"]["kernel"]
+    assert stem.shape[2] == 6
+
+
+def test_globalconv_node_model(rng):
+    cfg = load_config(
+        opts=["MODEL.INPUT_SIZE", "(64, 64)", "MODEL.DLA.NODE", "GlobalConv",
+              "DATASET.RADAR_PC", "False", "MIXED_PRECISION", "False"],
+        num_classes=3,
+    )
+    model = build_model(cfg)
+    image = jnp.asarray(rng.randn(1, 64, 64, 3).astype(np.float32))
+    variables = model.init(jax.random.PRNGKey(0), image)
+    y = model.apply(variables, image)[0]
+    assert y["heatmap"].shape == (1, 16, 16, 3)
+    assert np.isfinite(np.asarray(y["depthMap"])).all()
+
+
+def test_one_hot_frustum_rejected():
+    with pytest.raises(ValueError):
+        load_config(
+            opts=["DATASET.ONE_HOT_PC", "True", "MODEL.FRUSTUM", "True"],
+            num_classes=10,
+        )
