@@ -95,4 +95,23 @@ def main():
 
 
 if __name__ == "__main__":
-    main()
+    try:
+        main()
+    except Exception as first_error:  # tunnel hiccups: retry once, then record
+        import traceback
+
+        traceback.print_exc()
+        try:
+            main()
+        except Exception:
+            print(
+                json.dumps(
+                    {
+                        "metric": "eval_fps_per_chip_6cam_fusion",
+                        "value": 0.0,
+                        "unit": "frames/sec",
+                        "vs_baseline": 0.0,
+                        "error": f"{type(first_error).__name__}: {first_error}",
+                    }
+                )
+            )
