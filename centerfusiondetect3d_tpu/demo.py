@@ -155,11 +155,21 @@ def main(argv=None):
                 radars.append(np.zeros((18, 0), np.float32))
         ret = detector.run(frames, infos, radars)
 
+        pc_hm = ret["extras"].get("pc_hm")
         tiles = []
         for ci in range(min(6, len(frames))):
             calib = np.array(infos[ci]["calib"], np.float32)
             vis = render_camera(frames[ci], ret["results"].get(ci, []), calib,
                                 args.conf_thresh)
+            if pc_hm is not None:
+                # radar heatmap overlay (drawPcHeatmap analogue,
+                # logger.py:140-310)
+                hm = pc_hm[ci, ..., 0]
+                hm = (hm / max(hm.max(), 1e-6) * 255).astype(np.uint8)
+                hm = cv2.applyColorMap(
+                    cv2.resize(hm, (vis.shape[1], vis.shape[0])), cv2.COLORMAP_JET
+                )
+                vis = cv2.addWeighted(vis, 0.8, hm, 0.2, 0)
             tiles.append(cv2.resize(vis, (400, 224)))
         while len(tiles) < 6:
             tiles.append(np.zeros((224, 400, 3), np.uint8))

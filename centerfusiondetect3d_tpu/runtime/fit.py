@@ -134,6 +134,8 @@ class Trainer:
                 import jax.profiler
 
                 jax.profiler.start_trace(os.path.join(self.output_dir, "profile"))
+            n_batches = len(loader)
+            log_every = max(1, n_batches // 10)
             for i, batch in enumerate(batches):
                 timer.start("step")
                 self.state, metrics = step(self.state, batch, lr)
@@ -141,6 +143,14 @@ class Trainer:
                 for k, v in metrics.items():
                     meters[k].update(float(v))
                 self.health.check()
+                if (i + 1) % log_every == 0 or i + 1 == n_batches:
+                    # per-batch progress line (ProgressBar analogue,
+                    # progressBar.py:25-57)
+                    self.logger.info(
+                        "epoch %d [%d/%d] total %.4f (%.0f ms/step)",
+                        epoch, i + 1, n_batches, meters["total"].avg,
+                        timer.meters["step"].avg * 1e3,
+                    )
             if profiling:
                 jax.profiler.stop_trace()
             msg = " ".join(f"{k} {m.avg:.4f}" for k, m in sorted(meters.items()))

@@ -142,3 +142,26 @@ def test_detections_to_results_filters():
     # k=1 dropped (dim<=0), k=2 dropped (score<=-1)
     assert len(res[7]) == 1
     assert res[7][0]["score"] == pytest.approx(0.9)
+
+
+def test_kitti_export(tmp_path):
+    from centerfusiondetect3d_tpu.evaluation.kitti_export import export_kitti
+    from centerfusiondetect3d_tpu.data.dataset import NuScenesDataset
+
+    results = {
+        3: [
+            {"class": 1.0, "score": 0.8, "dimension": np.array([1.6, 1.9, 4.5]),
+             "location": np.array([2.0, 1.0, 12.0]), "yaw": 0.3,
+             "bbox": np.array([100.0, 50.0, 200.0, 120.0])},
+            {"class": 6.0, "score": 0.1, "dimension": np.array([1.7, 0.6, 0.6]),
+             "location": np.array([-1.0, 1.0, 8.0]), "yaw": -0.5},
+        ]
+    }
+    n = export_kitti(results, str(tmp_path), NuScenesDataset.class_name,
+                     conf_thresh=0.5)
+    assert n == 1
+    lines = (tmp_path / "000003.txt").read_text().strip().split("\n")
+    assert len(lines) == 1  # low-score pedestrian filtered
+    parts = lines[0].split()
+    assert parts[0] == "Car"
+    assert float(parts[8]) == 1.6 and float(parts[13]) == 12.0
