@@ -27,6 +27,10 @@ ITERS = 12
 def main():
     import jax
     import jax.numpy as jnp
+
+    from centerfusiondetect3d_tpu.utils.cache import enable_compilation_cache
+
+    enable_compilation_cache()
     from centerfusiondetect3d_tpu.config import load_config
     from centerfusiondetect3d_tpu.models import build_model
     from centerfusiondetect3d_tpu.ops import fusion_decode

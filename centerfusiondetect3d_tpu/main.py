@@ -63,6 +63,10 @@ def main(argv=None):
         import jax
 
         jax.config.update("jax_debug_nans", True)
+
+    from .utils.cache import enable_compilation_cache
+
+    enable_compilation_cache()
     dataset_cls = get_dataset(config.DATASET.DATASET)
     logger, out_dir = create_logger("output", config.NAME)
     config = finalize_config(
