@@ -57,6 +57,30 @@ def detections_to_results(processed: Dict[str, np.ndarray], img_ids,
     return results
 
 
+def convert_coco_format(results: Dict[int, List[dict]]) -> List[dict]:
+    """2D detections -> COCO results list (nuscenes.py:393-414)."""
+    detections = []
+    for image_id, items in results.items():
+        for item in items:
+            if "bbox" not in item:
+                continue
+            bbox = np.asarray(item["bbox"], np.float64)
+            detections.append(
+                {
+                    "image_id": int(image_id),
+                    "category_id": int(item["class"]),
+                    "bbox": [
+                        round(float(bbox[0]), 2),
+                        round(float(bbox[1]), 2),
+                        round(float(bbox[2] - bbox[0]), 2),
+                        round(float(bbox[3] - bbox[1]), 2),
+                    ],
+                    "score": round(float(item["score"]), 2),
+                }
+            )
+    return detections
+
+
 def eval_format_item(item: dict, image_info: dict, class_names, cycles,
                      pedestrians, vehicles, id_to_attribute) -> dict:
     """One detection -> one submission record (nuscenes.py:416-482)."""

@@ -47,9 +47,9 @@ def get_affine_transform(
         (2, 3) float affine matrix.
     """
     center = np.asarray(center, dtype=np.float32)
-    if not isinstance(scale, (np.ndarray, list, tuple)):
-        scale = np.array([scale, scale], dtype=np.float32)
     scale = np.asarray(scale, dtype=np.float32)
+    if scale.ndim == 0:
+        scale = np.array([scale, scale], dtype=np.float32)
     shift = np.asarray(shift, dtype=np.float32)
 
     src_w = scale[0]

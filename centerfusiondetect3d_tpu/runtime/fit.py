@@ -222,10 +222,19 @@ class Trainer:
             self.init_state(first)
         if self._eval_step is None:
             self._eval_step = self._build_eval_step()
-
-        if self.dataset_val is not None and len(loader) > 0:
-            # FLOPs/params report (trainer.py:100-124 analogue) - once
-            pass
+            # one-time FLOPs report (thop analogue, trainer.py:112-117)
+            try:
+                first = next(iter(loader))
+                first.pop("meta", None)
+                cost = self.profile(first)
+                if cost:
+                    self.logger.info(
+                        "model cost: %.2f GFLOPs, %.2f GiB accessed (per batch)",
+                        cost.get("flops", 0) / 1e9,
+                        cost.get("bytes_accessed", 0) / 2 ** 30,
+                    )
+            except Exception:
+                pass
 
         results: Dict[int, list] = {}
         meters = defaultdict(AverageMeter)

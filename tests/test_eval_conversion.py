@@ -165,3 +165,23 @@ def test_kitti_export(tmp_path):
     parts = lines[0].split()
     assert parts[0] == "Car"
     assert float(parts[8]) == 1.6 and float(parts[13]) == 12.0
+
+
+def test_convert_coco_format():
+    from centerfusiondetect3d_tpu.data.nuscenes_eval import convert_coco_format
+
+    results = {
+        5: [
+            {"class": 2.0, "score": 0.77,
+             "bbox": np.array([10.0, 20.0, 50.0, 60.0]),
+             "dimension": np.ones(3), "location": np.zeros(3), "yaw": 0.0},
+            {"class": 1.0, "score": 0.5,
+             "dimension": np.ones(3), "location": np.zeros(3), "yaw": 0.0},
+        ]
+    }
+    dets = convert_coco_format(results)
+    assert len(dets) == 1  # bbox-less detection skipped
+    d = dets[0]
+    assert d["image_id"] == 5 and d["category_id"] == 2
+    assert d["bbox"] == [10.0, 20.0, 40.0, 40.0]  # xywh
+    assert d["score"] == 0.77

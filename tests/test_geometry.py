@@ -186,3 +186,11 @@ def test_geometry_works_under_jax():
     rot = jnp.array(np.random.RandomState(1).randn(2, 3, 8).astype(np.float32))
     a = get_alpha(rot, xp=jnp)
     assert a.shape == (2, 3)
+
+
+def test_affine_accepts_0d_scale():
+    # stacked eval metas yield 0-d numpy scalars (Trainer.val meta path)
+    mat_scalar = get_affine_transform(np.array([800.0, 450.0]),
+                                      np.float64(1600.0), 0, (200, 112))
+    mat_float = get_affine_transform(np.array([800.0, 450.0]), 1600.0, 0, (200, 112))
+    np.testing.assert_allclose(mat_scalar, mat_float)
