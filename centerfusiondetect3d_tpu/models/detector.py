@@ -33,6 +33,7 @@ class CenterFusionDLA(nn.Module):
 
     heads: Tuple[Tuple[str, int], ...]
     head_conv: Tuple[Tuple[str, Tuple[int, ...]], ...]
+    arch: str = "dla_34"
     node: str = "DeformConv"
     fusion_strategy: Any = "middle"  # 'early' | 'middle' | None
     radar_pc: bool = True
@@ -45,8 +46,16 @@ class CenterFusionDLA(nn.Module):
 
     def setup(self):
         node_type = NODE_TYPES[self.node]
-        channels = DLA34_CHANNELS
-        self.base = DLA(dtype=self.dtype, name="base")
+        channels = DLA34_CHANNELS  # resnet backbones share the channel ladder
+        family, _, depth = self.arch.partition("_")
+        if family == "dla":
+            self.base = DLA(dtype=self.dtype, name="base")
+        elif family == "resnet":
+            from .resnet import ResNetBackbone
+
+            self.base = ResNetBackbone(depth=depth or "18", dtype=self.dtype, name="base")
+        else:
+            raise NotImplementedError(f"architecture {self.arch!r} not implemented")
         scales = [2 ** i for i in range(len(channels[FIRST_LEVEL:]))]
         self.dla_up = DLAUp(
             FIRST_LEVEL, channels[FIRST_LEVEL:], scales, node_type=node_type,
@@ -141,11 +150,12 @@ def build_model(config, dtype=None) -> CenterFusionDLA:
     if dtype is None:
         dtype = jnp.bfloat16 if config.MIXED_PRECISION else jnp.float32
     arch = config.MODEL.ARCH
-    if not arch.startswith("dla"):
+    if not (arch.startswith("dla") or arch.startswith("resnet")):
         raise NotImplementedError(f"architecture {arch!r} not implemented")
     return CenterFusionDLA(
         heads=tuple((k, int(v)) for k, v in config.heads.items()),
         head_conv=tuple((k, tuple(v)) for k, v in config.head_conv.items()),
+        arch=arch,
         node=config.MODEL.DLA.NODE,
         fusion_strategy=config.MODEL.FUSION_STRATEGY,
         radar_pc=config.DATASET.RADAR_PC,

@@ -294,3 +294,29 @@ def test_one_hot_frustum_rejected():
             opts=["DATASET.ONE_HOT_PC", "True", "MODEL.FRUSTUM", "True"],
             num_classes=10,
         )
+
+
+def test_resnet_backbone_family(rng):
+    cfg = load_config(
+        opts=["MODEL.INPUT_SIZE", "(64, 128)", "MODEL.ARCH", "'resnet_18'",
+              "MODEL.DLA.NODE", "Conv", "MIXED_PRECISION", "False"],
+        num_classes=10,
+    )
+    model = build_model(cfg)
+    oh, ow = cfg.MODEL.OUTPUT_SIZE
+    image = jnp.asarray(rng.randn(1, 64, 128, 3).astype(np.float32))
+    pc = jnp.asarray(np.abs(rng.randn(1, oh, ow, 3)).astype(np.float32))
+    calib = jnp.asarray(np.array([[[120.0, 0, ow / 2, 0], [0, 120.0, oh / 2, 0],
+                                   [0, 0, 1, 0]]], np.float32))
+    variables = model.init(jax.random.PRNGKey(0), image, pc, pc, calib)
+    y = model.apply(variables, image, pc, pc, calib)[0]
+    assert y["heatmap"].shape == (1, oh, ow, 10)
+    assert y["depth2"].shape == (1, oh, ow, 1)  # same fusion heads on resnet
+    # backbone params are ResNet-shaped (layer4 exists, no tree names)
+    assert any(k.startswith("layer4") for k in variables["params"]["base"])
+
+
+def test_unknown_arch_rejected():
+    cfg = load_config(opts=["MODEL.ARCH", "'vit_base'"], num_classes=10)
+    with pytest.raises(NotImplementedError):
+        build_model(cfg)
