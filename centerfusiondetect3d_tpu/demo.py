@@ -28,6 +28,7 @@ def parse_args(argv=None):
     p.add_argument("--split", default="mini_val")
     p.add_argument("--load", default="", help="orbax checkpoint dir")
     p.add_argument("--save-dir", default="", help="save mosaic frames")
+    p.add_argument("--save-video", default="", help="write the mosaic stream to an mp4")
     p.add_argument("--max-samples", type=int, default=0, help="0 = all")
     p.add_argument("--conf-thresh", type=float, default=0.3)
     p.add_argument("opts", nargs="*", default=[])
@@ -179,9 +180,18 @@ def main(argv=None):
 
         if args.save_dir:
             cv2.imwrite(os.path.join(args.save_dir, f"{token}.jpg"), frame)
+        if args.save_video:
+            if "writer" not in locals():
+                writer = cv2.VideoWriter(
+                    args.save_video, cv2.VideoWriter_fourcc(*"mp4v"), 2.0,
+                    (frame.shape[1], frame.shape[0]),
+                )
+            writer.write(frame)
         print(f"[{si}] {token}: "
               + " | ".join(f"{k} {len(v)}" for k, v in ret["results"].items())
               + " | " + detector.timer.report())
+    if args.save_video and "writer" in locals():
+        writer.release()
 
 
 if __name__ == "__main__":
