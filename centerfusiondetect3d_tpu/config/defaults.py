@@ -103,4 +103,5 @@ def default_config() -> ConfigNode:
     c.TPU.PLATFORM = ""  # force a jax platform (e.g. 'cpu'); '' = default
     c.TPU.DEBUG_NANS = False  # jax nan-guard (torch anomaly-mode analogue)
     c.TPU.PROFILE = False  # capture a jax.profiler trace of the first epoch
+    c.TPU.REMAT = False  # rematerialize the backbone (fit bigger batches)
     return c

@@ -42,6 +42,7 @@ class CenterFusionDLA(nn.Module):
     max_pc_dist: float = 60.0
     top_k: int = 100
     norm_eval: bool = False  # freeze backbone BN stats during training
+    remat: bool = False  # rematerialize the backbone (memory for FLOPs)
     dtype: Any = jnp.float32
 
     def setup(self):
@@ -49,13 +50,20 @@ class CenterFusionDLA(nn.Module):
         channels = DLA34_CHANNELS  # resnet backbones share the channel ladder
         family, _, depth = self.arch.partition("_")
         if family == "dla":
-            self.base = DLA(dtype=self.dtype, name="base")
+            base_cls = DLA
+            base_kwargs = {}
         elif family == "resnet":
             from .resnet import ResNetBackbone
 
-            self.base = ResNetBackbone(depth=depth or "18", dtype=self.dtype, name="base")
+            base_cls = ResNetBackbone
+            base_kwargs = {"depth": depth or "18"}
         else:
             raise NotImplementedError(f"architecture {self.arch!r} not implemented")
+        if self.remat:
+            # trade backbone activation memory for recompute (jax.checkpoint);
+            # the `train` kwarg must stay static through the lift
+            base_cls = nn.remat(base_cls, static_argnums=(2,))
+        self.base = base_cls(dtype=self.dtype, name="base", **base_kwargs)
         scales = [2 ** i for i in range(len(channels[FIRST_LEVEL:]))]
         self.dla_up = DLAUp(
             FIRST_LEVEL, channels[FIRST_LEVEL:], scales, node_type=node_type,
@@ -92,7 +100,7 @@ class CenterFusionDLA(nn.Module):
         # XLA folds eval-mode BN into the convs, so the memory/compute win of
         # the reference's fx graph rewrite falls out of jit for free.
         bn_train = train and not self.norm_eval
-        feats = self.base(x, train=bn_train)
+        feats = self.base(x, bn_train) if self.remat else self.base(x, train=bn_train)
         pyramid = self.dla_up(feats, train=bn_train)
         y = list(pyramid[: LAST_LEVEL - FIRST_LEVEL])
         y = self.ida_up(y, 0, len(y), train=bn_train)
@@ -164,5 +172,6 @@ def build_model(config, dtype=None) -> CenterFusionDLA:
         max_pc_dist=float(config.DATASET.MAX_PC_DIST),
         top_k=int(config.MODEL.K),
         norm_eval=bool(config.MODEL.NORM_EVAL),
+        remat=bool(config.TPU.get("REMAT", False)),
         dtype=dtype,
     )

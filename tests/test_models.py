@@ -320,3 +320,32 @@ def test_unknown_arch_rejected():
     cfg = load_config(opts=["MODEL.ARCH", "'vit_base'"], num_classes=10)
     with pytest.raises(NotImplementedError):
         build_model(cfg)
+
+
+def test_remat_backbone_matches_plain(rng):
+    import jax as _jax
+
+    cfg = load_config(
+        opts=["MODEL.INPUT_SIZE", "(64, 64)", "MODEL.DLA.NODE", "Conv",
+              "DATASET.RADAR_PC", "False", "MIXED_PRECISION", "False"],
+        num_classes=3,
+    )
+    cfg_r = load_config(
+        opts=["MODEL.INPUT_SIZE", "(64, 64)", "MODEL.DLA.NODE", "Conv",
+              "DATASET.RADAR_PC", "False", "TPU.REMAT", "True",
+              "MIXED_PRECISION", "False"],
+        num_classes=3,
+    )
+    image = jnp.asarray(rng.randn(1, 64, 64, 3).astype(np.float32))
+    plain = build_model(cfg)
+    remat = build_model(cfg_r)
+    v = plain.init(_jax.random.PRNGKey(0), image)
+    y0 = plain.apply(v, image)[0]["heatmap"]
+    y1 = remat.apply(v, image)[0]["heatmap"]  # identical params tree
+    np.testing.assert_allclose(np.asarray(y0), np.asarray(y1), atol=1e-5)
+    # gradients flow through the remat boundary
+    def loss(params):
+        return remat.apply({"params": params, "batch_stats": v["batch_stats"]},
+                           image, train=True, mutable=["batch_stats"])[0][0]["heatmap"].sum()
+    g = _jax.grad(loss)(v["params"])
+    assert np.isfinite(np.asarray(_jax.tree.leaves(g)[0])).all()
