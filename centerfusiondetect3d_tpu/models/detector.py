@@ -86,6 +86,7 @@ class CenterFusionDLA(nn.Module):
             heads=dict(self.heads),
             head_conv={k: tuple(v) for k, v in self.head_conv},
             secondary=secondary,
+            remat=self.remat,
             dtype=self.dtype,
             name="detect_head_0",
         )

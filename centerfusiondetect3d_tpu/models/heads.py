@@ -78,12 +78,16 @@ class DetectHeadSet(nn.Module):
     heads: Mapping[str, int]
     head_conv: Mapping[str, Sequence[int]]
     secondary: Sequence[str] = ()
+    remat: bool = False
     dtype: Any = jnp.float32
 
     def setup(self):
+        # head towers at stride 4 x 256ch dominate training memory; remat
+        # them when requested (nn.remat preserves names/params)
+        tower_cls = nn.remat(HeadTower) if self.remat else HeadTower
         towers = {}
         for name, nout in self.heads.items():
-            towers[name] = HeadTower(
+            towers[name] = tower_cls(
                 nout,
                 tuple(self.head_conv.get(name, ())),
                 is_heatmap="heatmap" in name,
