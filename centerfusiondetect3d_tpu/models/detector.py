@@ -48,6 +48,12 @@ class CenterFusionDLA(nn.Module):
     def setup(self):
         node_type = NODE_TYPES[self.node]
         channels = DLA34_CHANNELS  # resnet backbones share the channel ladder
+        dla_up_cls, ida_up_cls = DLAUp, IDAUp
+        if self.remat:
+            # neck stages at stride 4 hold the largest activations; remat
+            # them alongside backbone and head towers
+            dla_up_cls = nn.remat(DLAUp, static_argnums=(2,))
+            ida_up_cls = nn.remat(IDAUp, static_argnums=(2, 3, 4))
         family, _, depth = self.arch.partition("_")
         if family == "dla":
             base_cls = DLA
@@ -65,11 +71,11 @@ class CenterFusionDLA(nn.Module):
             base_cls = nn.remat(base_cls, static_argnums=(2,))
         self.base = base_cls(dtype=self.dtype, name="base", **base_kwargs)
         scales = [2 ** i for i in range(len(channels[FIRST_LEVEL:]))]
-        self.dla_up = DLAUp(
+        self.dla_up = dla_up_cls(
             FIRST_LEVEL, channels[FIRST_LEVEL:], scales, node_type=node_type,
             dtype=self.dtype, name="dla_up",
         )
-        self.ida_up = IDAUp(
+        self.ida_up = ida_up_cls(
             channels[FIRST_LEVEL],
             channels[FIRST_LEVEL:LAST_LEVEL],
             [2 ** i for i in range(LAST_LEVEL - FIRST_LEVEL)],
@@ -101,10 +107,17 @@ class CenterFusionDLA(nn.Module):
         # XLA folds eval-mode BN into the convs, so the memory/compute win of
         # the reference's fx graph rewrite falls out of jit for free.
         bn_train = train and not self.norm_eval
-        feats = self.base(x, bn_train) if self.remat else self.base(x, train=bn_train)
-        pyramid = self.dla_up(feats, train=bn_train)
-        y = list(pyramid[: LAST_LEVEL - FIRST_LEVEL])
-        y = self.ida_up(y, 0, len(y), train=bn_train)
+        if self.remat:
+            # remat lifts require the static `train` flag positionally
+            feats = self.base(x, bn_train)
+            pyramid = self.dla_up(feats, bn_train)
+            y = list(pyramid[: LAST_LEVEL - FIRST_LEVEL])
+            y = self.ida_up(y, 0, len(y), bn_train)
+        else:
+            feats = self.base(x, train=bn_train)
+            pyramid = self.dla_up(feats, train=bn_train)
+            y = list(pyramid[: LAST_LEVEL - FIRST_LEVEL])
+            y = self.ida_up(y, 0, len(y), train=bn_train)
         return y[-1]
 
     def __call__(self, image, pc_hm=None, pc_dep=None, calib=None, train: bool = False):
