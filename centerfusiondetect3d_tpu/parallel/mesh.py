@@ -42,9 +42,22 @@ def replicated(mesh: Mesh) -> NamedSharding:
 
 
 def shard_batch(batch: Dict[str, Any], mesh: Mesh) -> Dict[str, Any]:
-    """Place every array in the batch with its leading dim over 'data'."""
-    sharding = batch_sharding(mesh)
-    return jax.tree.map(lambda x: jax.device_put(x, sharding), batch)
+    """Place every array in the batch with its leading dim over 'data'.
+
+    Arrays whose leading dim doesn't divide the data axis (e.g. a last eval
+    batch of 1 on an 8-device mesh) are replicated instead - correctness over
+    parallelism for the remainder batch.
+    """
+    n_data = mesh.shape[DATA_AXIS]
+    sharded = batch_sharding(mesh)
+    replicated_s = replicated(mesh)
+
+    def put(x):
+        arr = np.asarray(x) if not hasattr(x, "shape") else x
+        fits = arr.ndim >= 1 and arr.shape[0] % n_data == 0 and arr.shape[0] > 0
+        return jax.device_put(x, sharded if fits else replicated_s)
+
+    return jax.tree.map(put, batch)
 
 
 def replicate(tree: Any, mesh: Mesh) -> Any:

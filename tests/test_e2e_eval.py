@@ -1,0 +1,102 @@
+"""Full evaluation seam: raw tables -> converter -> dataset -> Trainer.val
+-> submission -> native NDS scoring (every component in one flow)."""
+
+import json
+import os
+
+import numpy as np
+import pytest
+
+
+@pytest.fixture(scope="module")
+def eval_root(tmp_path_factory):
+    """Synthetic raw nuScenes + converter output + camera images."""
+    import cv2
+
+    from centerfusiondetect3d_tpu.data.convert_nuscenes import export_split, scene_splits
+
+    root = tmp_path_factory.mktemp("e2e")
+    version = root / "v1.0-mini"
+    version.mkdir()
+    scene_name = scene_splits()["mini_val"][0]
+
+    def w(name, obj):
+        (version / f"{name}.json").write_text(json.dumps(obj))
+
+    w("scene", [{"token": "sc0", "name": scene_name, "description": "sunny"}])
+    w("sample", [
+        {"token": "sa0", "scene_token": "sc0", "timestamp": 1_000_000,
+         "prev": "", "next": ""},
+    ])
+    w("sensor", [
+        {"token": "se_cam", "channel": "CAM_FRONT", "modality": "camera"},
+        {"token": "se_lid", "channel": "LIDAR_TOP", "modality": "lidar"},
+    ])
+    w("calibrated_sensor", [
+        {"token": "cs_cam", "sensor_token": "se_cam", "translation": [0, 0, 0],
+         "rotation": [1, 0, 0, 0],
+         "camera_intrinsic": [[400.0, 0, 200.0], [0, 400.0, 150.0], [0, 0, 1]]},
+        {"token": "cs_lid", "sensor_token": "se_lid", "translation": [0, 0, 0],
+         "rotation": [1, 0, 0, 0], "camera_intrinsic": []},
+    ])
+    w("ego_pose", [{"token": "ep0", "translation": [0, 0, 0], "rotation": [1, 0, 0, 0]}])
+    w("sample_data", [
+        {"token": "sd_cam0", "sample_token": "sa0", "ego_pose_token": "ep0",
+         "calibrated_sensor_token": "cs_cam", "is_key_frame": True,
+         "filename": "samples/CAM_FRONT/img0.jpg", "width": 400, "height": 300,
+         "prev": "", "next": ""},
+        {"token": "sd_lid0", "sample_token": "sa0", "ego_pose_token": "ep0",
+         "calibrated_sensor_token": "cs_lid", "is_key_frame": True,
+         "filename": "samples/LIDAR_TOP/l0.pcd.bin", "width": 0, "height": 0,
+         "prev": "", "next": ""},
+    ])
+    w("category", [{"token": "cat_car", "name": "vehicle.car"}])
+    w("instance", [{"token": "in0", "category_token": "cat_car"}])
+    w("attribute", [{"token": "at_mv", "name": "vehicle.moving"}])
+    w("sample_annotation", [
+        {"token": "an0", "sample_token": "sa0", "instance_token": "in0",
+         "translation": [0.5, 0.2, 10.0], "size": [1.9, 4.5, 1.6],
+         "rotation": [1, 0, 0, 0], "attribute_tokens": ["at_mv"],
+         "prev": "", "next": "", "visibility_token": "4",
+         "num_lidar_pts": 10, "num_radar_pts": 2},
+    ])
+
+    img_dir = root / "samples" / "CAM_FRONT"
+    img_dir.mkdir(parents=True)
+    cv2.imwrite(str(img_dir / "img0.jpg"), np.zeros((300, 400, 3), np.uint8))
+
+    export_split(str(root), "mini_val", verbose=False)
+    # dataset expects ROOT/nuscenes
+    os.symlink(root, root / "nuscenes")
+    return str(root)
+
+
+def test_trainer_val_scores_against_raw_tables(eval_root):
+    from centerfusiondetect3d_tpu.config import load_config
+    from centerfusiondetect3d_tpu.data import NuScenesDataset
+    from centerfusiondetect3d_tpu.models import build_model
+    from centerfusiondetect3d_tpu.runtime.fit import Trainer
+
+    cfg = load_config(
+        opts=["DATASET.ROOT", repr(eval_root + "/"), "MODEL.INPUT_SIZE", "(96, 160)",
+              "MODEL.DLA.NODE", "Conv", "MODEL.K", "8", "EVAL", "True",
+              "DATASET.RADAR_PC", "False", "MIXED_PRECISION", "False",
+              "WORKERS", "1"],
+        num_classes=10,
+    )
+    ds = NuScenesDataset(cfg, "mini_val")
+    assert len(ds) == 1
+    out_dir = os.path.join(eval_root, "run_out")
+    trainer = Trainer(cfg, build_model(cfg), None, ds, out_dir)
+    results = trainer.val()
+    # one image processed; submission written; native scorer produced summaries
+    assert len(results) == 1
+    split = cfg.DATASET.VAL_SPLIT
+    assert os.path.exists(os.path.join(out_dir, f"results_nuscenes_det_{split}.json"))
+    summary_path = os.path.join(
+        out_dir, f"nuscenes_eval_det_output_{split}", "range_all",
+        "metrics_summary.json",
+    )
+    assert os.path.exists(summary_path)
+    metrics = json.load(open(summary_path))
+    assert "nd_score" in metrics and 0.0 <= metrics["nd_score"] <= 1.0
