@@ -22,3 +22,6 @@ __all__ = [
 from .distributed import initialize, is_main_process, all_gather_detections
 
 __all__ += ["initialize", "is_main_process", "all_gather_detections"]
+from .mesh import tp_param_shardings, shard_params_tp
+
+__all__ += ["tp_param_shardings", "shard_params_tp"]

@@ -65,6 +65,39 @@ def replicate(tree: Any, mesh: Mesh) -> Any:
     return jax.tree.map(lambda x: jax.device_put(x, sharding), tree)
 
 
+def tp_param_shardings(params: Any, mesh: Mesh, min_width: int = 256) -> Any:
+    """Tensor-parallel placement: wide head-tower kernels shard their output
+    channels over the 'model' axis; everything else replicates.
+
+    The flagship CNN is data-parallel-first (like the reference's DDP), but
+    the 256-wide prediction towers are the one place channel sharding pays:
+    their (1|3, 1|3, C, 256) kernels and activations split over MODEL_AXIS,
+    and XLA inserts the boundary collectives.
+    """
+    n_model = mesh.shape[MODEL_AXIS]
+
+    def rule(path, x):
+        in_heads = any(getattr(p, "key", "") == "detect_head_0" for p in path)
+        if (
+            n_model > 1
+            and in_heads
+            and getattr(x, "ndim", 0) >= 1
+            and x.shape[-1] % n_model == 0
+            and x.shape[-1] >= min_width
+        ):
+            spec = P(*([None] * (x.ndim - 1)), MODEL_AXIS)
+            return NamedSharding(mesh, spec)
+        return replicated(mesh)
+
+    return jax.tree_util.tree_map_with_path(rule, params)
+
+
+def shard_params_tp(params: Any, mesh: Mesh, min_width: int = 256) -> Any:
+    """Place params according to tp_param_shardings."""
+    shardings = tp_param_shardings(params, mesh, min_width)
+    return jax.tree.map(jax.device_put, params, shardings)
+
+
 def gather_detections(detections: Dict[str, Any]) -> Dict[str, Any]:
     """Host-side: fetch the (globally sharded) fixed-size detection tensors.
 

@@ -205,3 +205,30 @@ def test_all_gather_detections_single_process():
     assert out["scores"].shape == (2, 4)
     assert isinstance(out["scores"], np.ndarray)
     assert is_main_process()
+
+
+def test_dp_tp_2d_mesh_train_step(tiny_setup, devices8):
+    """2D (data=4, model=2) mesh: batch DP + head-tower channel TP."""
+    from centerfusiondetect3d_tpu.parallel import shard_params_tp
+
+    cfg, model, loss_fn, batch, variables = tiny_setup
+    mesh = make_mesh(n_data=4, n_model=2, devices=devices8)
+    batch4 = jax.tree.map(
+        lambda x: jnp.concatenate([x] * 2, axis=0) if x.ndim >= 1 and x.shape[0] == 2 else x,
+        batch,
+    )
+    batch4 = shard_batch(batch4, mesh)
+    state = create_train_state(cfg, model, variables)
+    params = shard_params_tp(state.params, mesh)
+    # the wide tower kernels are actually channel-sharded over 'model'
+    k = params["detect_head_0"]["velocity"]["tower_0"]["kernel"]
+    assert len(k.sharding.device_set) == 8
+    assert k.sharding.spec[-1] == "model"
+    state = state.replace(
+        params=params,
+        batch_stats=replicate(state.batch_stats, mesh),
+        opt_state=replicate(state.opt_state, mesh),
+    )
+    step = jax.jit(make_train_step(model, loss_fn))
+    new_state, metrics = step(state, batch4, 1e-4)
+    assert np.isfinite(float(metrics["total"]))
