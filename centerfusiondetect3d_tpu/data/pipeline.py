@@ -33,10 +33,16 @@ class Loader:
 
     def __init__(self, dataset, batch_size: int, shuffle: bool = False,
                  seed: int = 0, drop_last: bool = True, num_threads: int = 2,
-                 prefetch: int = 2, drop_keys=("meta",)):
+                 prefetch: int = 2, drop_keys=("meta",),
+                 augment: Optional[bool] = None):
+        """``augment`` controls training augmentation explicitly; it defaults
+        to ``shuffle`` for backward compatibility but is independent — a
+        SHUFFLE=False training run still augments (the reference couples
+        augmentation to the split, not the sampler; generic_dataset.py)."""
         self.dataset = dataset
         self.batch_size = batch_size
         self.shuffle = shuffle
+        self.augment = shuffle if augment is None else bool(augment)
         self.seed = seed
         self.drop_last = drop_last
         self.num_threads = max(1, num_threads)
@@ -56,7 +62,7 @@ class Loader:
 
     def _build(self, index: int, sample_seed: int):
         rng = (
-            np.random.RandomState(sample_seed) if self.shuffle else None
+            np.random.RandomState(sample_seed) if self.augment else None
         )
         item = self.dataset.get_item(index, rng)
         for k in self.drop_keys:

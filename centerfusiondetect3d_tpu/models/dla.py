@@ -18,7 +18,7 @@ from typing import Any, Sequence
 import jax.numpy as jnp
 from flax import linen as nn
 
-from .layers import ConvBnAct, BN_MOMENTUM
+from .layers import ConvBnAct, BN_MOMENTUM, TorchBatchNorm
 
 DLA34_LEVELS = (1, 1, 1, 2, 2, 1)
 DLA34_CHANNELS = (16, 32, 64, 128, 256, 512)
@@ -60,7 +60,7 @@ class Root(nn.Module):
     def __call__(self, children: Sequence, train: bool = False):
         x = jnp.concatenate(children, axis=-1)
         x = nn.Conv(self.features, (1, 1), use_bias=False, dtype=self.dtype, name="conv")(x)
-        x = nn.BatchNorm(
+        x = TorchBatchNorm(
             use_running_average=not train, momentum=BN_MOMENTUM, dtype=self.dtype, name="bn"
         )(x)
         if self.residual:

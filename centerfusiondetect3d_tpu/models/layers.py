@@ -20,6 +20,58 @@ from ..ops.dcn import deform_conv2d
 BN_MOMENTUM = 0.9  # torch momentum 0.1
 
 
+class TorchBatchNorm(nn.Module):
+    """BatchNorm with torch's exact running-stat semantics.
+
+    flax's ``nn.BatchNorm`` stores the *biased* batch variance in its
+    running stats; torch normalizes with the biased variance but stores the
+    *unbiased* one (Bessel-corrected) — a ~N/(N-1) drift that breaks
+    bit-parity of imported/exported checkpoints (verified against a torch
+    golden, tests/test_golden_parity.py::test_conv_bn_matches_torch).
+    Variable names match flax ('scale'/'bias' params, 'mean'/'var' stats) so
+    the torch checkpoint mapping is unchanged. Statistics are computed in
+    f32 regardless of compute dtype.
+    """
+
+    momentum: float = BN_MOMENTUM
+    epsilon: float = 1e-5
+    use_running_average: bool = True
+    dtype: Any = None
+
+    @nn.compact
+    def __call__(self, x, use_running_average: Any = None):
+        if use_running_average is None:
+            use_running_average = self.use_running_average
+        feat = x.shape[-1]
+        scale = self.param("scale", nn.initializers.ones, (feat,), jnp.float32)
+        bias = self.param("bias", nn.initializers.zeros, (feat,), jnp.float32)
+        ra_mean = self.variable(
+            "batch_stats", "mean", nn.initializers.zeros, None, (feat,),
+            jnp.float32,
+        )
+        ra_var = self.variable(
+            "batch_stats", "var", nn.initializers.ones, None, (feat,),
+            jnp.float32,
+        )
+        if use_running_average:
+            mean, var = ra_mean.value, ra_var.value
+        else:
+            n = x.size // feat
+            xf = x.astype(jnp.float32).reshape(-1, feat)
+            mean = jnp.mean(xf, axis=0)
+            var = jnp.mean(jnp.square(xf), axis=0) - jnp.square(mean)
+            if not self.is_initializing():
+                unbiased = var * (n / max(n - 1, 1))
+                m = self.momentum
+                ra_mean.value = m * ra_mean.value + (1.0 - m) * mean
+                ra_var.value = m * ra_var.value + (1.0 - m) * unbiased
+        import jax
+
+        y = (x.astype(jnp.float32) - mean) * jax.lax.rsqrt(var + self.epsilon)
+        y = y * scale + bias
+        return y.astype(self.dtype or x.dtype)
+
+
 class ConvBnAct(nn.Module):
     """Conv -> BatchNorm -> optional ReLU."""
 
@@ -45,7 +97,7 @@ class ConvBnAct(nn.Module):
             dtype=self.dtype,
             name="conv",
         )(x)
-        x = nn.BatchNorm(
+        x = TorchBatchNorm(
             use_running_average=not train,
             momentum=BN_MOMENTUM,
             dtype=self.dtype,
@@ -100,7 +152,7 @@ class GlobalConvNode(nn.Module):
         right = conv("right1", (1, k), [(0, 0), (pad, pad)], x)
         right = conv("right2", (k, 1), [(pad, pad), (0, 0)], right)
         x = left + right
-        x = nn.BatchNorm(
+        x = TorchBatchNorm(
             use_running_average=not train, momentum=BN_MOMENTUM, dtype=self.dtype, name="bn"
         )(x)
         return nn.relu(x)
@@ -148,7 +200,7 @@ class DeformConvNode(nn.Module):
             weight.astype(self.dtype), bias.astype(self.dtype),
         )
         if self.activation:
-            x = nn.BatchNorm(
+            x = TorchBatchNorm(
                 use_running_average=not train,
                 momentum=BN_MOMENTUM,
                 dtype=self.dtype,

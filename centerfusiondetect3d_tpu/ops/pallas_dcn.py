@@ -1,17 +1,48 @@
-"""Pallas DCNv2 kernel (experimental).
+"""Pallas DCNv2 kernel: gather-free shifted-window formulation.
 
-The designed fast path for the deformable convolution: the padded feature map
-stays resident in VMEM across all 9 taps x 4 bilinear corners (it fits - the
-largest DLA map is (114, 203, 64) ~ 5.9 MB f32), gathers read VMEM instead of
-HBM, and each tap contracts on the MXU, removing the ~30 GB/s effective
-ceiling of XLA's HBM row-gather lowering (see ops/dcn.py).
+The TPU fast path for the deformable convolution (the reference's one CUDA
+kernel, ``torchvision.ops.deform_conv2d``,
+/root/reference/src/lib/model/networks/dla.py:385-472). The obvious
+formulation — bilinear *gathers* from a flattened row table (ops/dcn.py) —
+is the XLA local optimum but runs at ~30 GB/s effective on TPU, and this
+image's Mosaic toolchain cannot compile in-kernel gathers at all. This
+kernel removes the gather entirely:
 
-STATUS: this image's Mosaic toolchain cannot compile the gather
-(take_along_axis along sublanes / wide lanes crash the remote compiler with
-HTTP 500 - probed 2026-08-16, see ROADMAP.md), so the kernel is validated in
-interpreter mode and gated behind ``interpret=True`` / future toolchains.
-``deform_conv2d_pallas(..., interpret=False)`` is the switch to flip when a
-newer Mosaic lands.
+    sample(p + t_k + d_k(p))  ==  sum_g  hat(g_y - t_ky - dy_k(p))
+                                       * hat(g_x - t_kx - dx_k(p))
+                                       * x[p + g]
+
+where ``g`` ranges over *integer* shifts, ``hat(v) = max(0, 1 - |v|)`` is
+the bilinear tent (nonzero for exactly the two integers straddling the
+sampling point, so the sum is exact), and ``x[p + g]`` is a statically
+shaped *slice* of the padded feature map — a construct Mosaic compiles
+happily. Per tap the kernel reduces the shift range to the actual
+``[floor(min d), floor(max d) + 1]`` box via scalar min/max reductions, so
+the cost adapts to the real offset magnitudes: near-init offsets cost ~25
+shifts/tap; the worst case is bounded by clamping offsets to
+``[-max_offset, +max_offset]``.
+
+Layout notes (hard-won, see scripts/probe_dcn_bisect*.py):
+- row shifts (gy) use a dynamic-bound ``fori_loop`` with dynamic-start
+  slices on the outer spatial dim (compiles); column shifts (gx) are a
+  static unrolled loop with ``@pl.when`` range predication, because Mosaic
+  crashes on dynamic-start slices along the sublane dim inside a loop;
+- offsets/masks stay in native NHWC blocks and per-tap fields are taken as
+  single-lane slices ``off[..., 2k:2k+1]`` so the hat-weight multiply is a
+  free lane-broadcast against the (BR, W, C) slice — a transposed
+  ``(18, BR, W)`` layout forces a lane<->sublane relayout on every pass
+  (~10x slower).
+
+Semantics vs the reference: exact (zero-padding sampling included) whenever
+every offset lies within ``max_offset``; offsets beyond that are clamped
+(torchvision does not clamp). Trained DLA DCN offsets are small — choose
+``max_offset`` generously (default 8 output-stride pixels) and the paths
+agree. The whole feature map stays VMEM-resident across one batch image;
+taps contract on the MXU in bf16 with f32 accumulation.
+
+Gradients: ``deform_conv2d_fast`` wraps the kernel in a ``custom_vjp``
+whose backward pass is the VJP of the XLA formulation (ops/dcn.py), so the
+op is trainable everywhere the slow path is.
 """
 
 from __future__ import annotations
@@ -23,92 +54,162 @@ import jax.numpy as jnp
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
+from .dcn import deform_conv2d as _deform_conv2d_xla
 
-def _dcn_kernel(x_ref, offset_ref, mask_ref, weight_ref, out_ref, *, h, w, o):
-    """One batch image per program: x_ref (Hp*Wp, C) resident in VMEM."""
-    hp, wp = h + 2, w + 2
-    hw = h * w
-    c = x_ref.shape[-1]
 
-    tab = x_ref[0]  # (Hp*Wp, C) in VMEM (leading block dim of 1)
-    offsets = offset_ref[0]
-    masks = mask_ref[0]
-    base_y = jax.lax.broadcasted_iota(jnp.float32, (h, w), 0).reshape(hw)
-    base_x = jax.lax.broadcasted_iota(jnp.float32, (h, w), 1).reshape(hw)
+def _hat(v):
+    return jnp.maximum(0.0, 1.0 - jnp.abs(v))
 
-    acc_out = jnp.zeros((hw, o), jnp.float32)
+
+def _dcn_shift_kernel(off_ref, mask_ref, x_ref, w_ref, out_ref,
+                      tap_acc, out_acc, *, br, w, c, o, pad, r):
+    """One (batch, row-block) program.
+
+    Refs:
+        off_ref:  (1, BR, W, 18) f32 — NHWC offsets, (dy, dx) interleaved.
+        mask_ref: (1, BR, W, 9) f32 — sigmoided modulation.
+        x_ref:    (1, Hp, Wp, C) bf16 — whole padded image, VMEM-resident.
+        w_ref:    (9, C, O) bf16 — kernel taps.
+        out_ref:  (1, BR, W, O).
+        tap_acc:  (BR, W, C) f32 scratch.
+        out_acc:  (BR * W, O) f32 scratch.
+    """
+    rb = pl.program_id(1)
+    row0 = rb * br
+    ri = int(r)
+
+    out_acc[:] = jnp.zeros_like(out_acc)
     for k in range(9):
         i, j = divmod(k, 3)
-        py = base_y + (i - 1) + offsets[:, 2 * k] + 1.0
-        px = base_x + (j - 1) + offsets[:, 2 * k + 1] + 1.0
-        y0 = jnp.floor(py)
-        x0 = jnp.floor(px)
-        wy1 = (py - y0)[:, None]
-        wx1 = (px - x0)[:, None]
+        dy = jnp.clip(off_ref[0, :, :, 2 * k:2 * k + 1], -r, r)  # (BR, W, 1)
+        dx = jnp.clip(off_ref[0, :, :, 2 * k + 1:2 * k + 2], -r, r)
+        # active integer-shift box for this tap (relative to the tap center)
+        ylo = (i - 1) + jnp.floor(jnp.min(dy)).astype(jnp.int32)
+        yhi = (i - 1) + jnp.floor(jnp.max(dy)).astype(jnp.int32) + 1
+        xlo = (j - 1) + jnp.floor(jnp.min(dx)).astype(jnp.int32)
+        xhi = (j - 1) + jnp.floor(jnp.max(dx)).astype(jnp.int32) + 1
 
-        acc = jnp.zeros((hw, c), jnp.float32)
-        for dy in (0.0, 1.0):
-            for dx in (0.0, 1.0):
-                yy = y0 + dy
-                xx = x0 + dx
-                valid = (yy >= 0) & (yy < hp) & (xx >= 0) & (xx < wp)
-                idx = (
-                    jnp.clip(yy, 0, hp - 1).astype(jnp.int32) * wp
-                    + jnp.clip(xx, 0, wp - 1).astype(jnp.int32)
-                )
-                vals = jnp.take(tab, idx, axis=0)  # VMEM gather
-                wgt = (wy1 if dy else 1 - wy1) * (wx1 if dx else 1 - wx1)
-                wgt = jnp.where(valid[:, None], wgt, 0.0)
-                acc = acc + vals * wgt
-        tap = acc * masks[:, k][:, None]
-        acc_out = acc_out + jax.lax.dot_general(
-            tap.astype(weight_ref.dtype),
-            weight_ref[k],
+        tap_acc[:] = jnp.zeros_like(tap_acc)
+        ty = dy + (i - 1)  # sampling position relative to p, y component
+        tx = dx + (j - 1)
+
+        def body_y(gy, _, ty=ty, tx=tx, xlo=xlo, xhi=xhi):
+            wy = _hat(gy.astype(jnp.float32) - ty)  # (BR, W, 1)
+            # needed gx span: [(j-1)+floor(dx), (j-1)+floor(dx)+1],
+            # floor(dx) in [-R, R]
+            for gx in range(j - 1 - ri, j - 1 + ri + 2):
+                @pl.when((gx >= xlo) & (gx <= xhi))
+                def _(gx=gx):
+                    wx = _hat(float(gx) - tx)
+                    xs = x_ref[0, pl.ds(row0 + gy + pad, br),
+                               gx + pad:gx + pad + w, :]
+                    tap_acc[:] += (wy * wx) * xs.astype(jnp.float32)
+            return 0
+
+        jax.lax.fori_loop(ylo, yhi + 1, body_y, 0)
+
+        tap = tap_acc[:] * mask_ref[0, :, :, k:k + 1]
+        out_acc[:] += jax.lax.dot_general(
+            tap.reshape(br * w, c).astype(jnp.bfloat16),
+            w_ref[k],
             dimension_numbers=(((1,), (0,)), ((), ())),
             preferred_element_type=jnp.float32,
         )
-    out_ref[0] = acc_out.astype(out_ref.dtype)
+    out_ref[0] = out_acc[:].reshape(br, w, o).astype(out_ref.dtype)
 
 
-def deform_conv2d_pallas(x, offset, mask, weight, bias=None, interpret=True):
-    """Pallas DCNv2, same contract as ops.dcn.deform_conv2d.
+def deform_conv2d_pallas(x, offset, mask, weight, bias=None, *,
+                         max_offset: float = 8.0, block_rows: int = 16,
+                         interpret: bool = False):
+    """Modulated 3x3 stride-1 DCNv2, NHWC — shifted-window Pallas kernel.
 
-    Args:
-        x: (B, H, W, C); offset: (B, H, W, 18); mask: (B, H, W, 9);
-        weight: (3, 3, C, O); interpret: run the kernel in interpreter mode
-        (required on this image's toolchain - see module docstring).
+    Same contract as ``ops.dcn.deform_conv2d`` (torchvision layouts:
+    offset (B,H,W,18) interleaved (dy,dx); mask (B,H,W,9) sigmoided;
+    weight (3,3,C,O) HWIO). Offsets are clamped to ±``max_offset``; compute
+    is bf16 with f32 accumulation.
     """
     b, h, w, c = x.shape
     kh, kw, _, o = weight.shape
-    assert (kh, kw) == (3, 3)
-    hp, wp = h + 2, w + 2
-    hw = h * w
+    assert (kh, kw) == (3, 3), "DLA nodes only use 3x3 DCN"
+    r = float(max_offset)
+    pad = int(max_offset) + 2
 
-    xp = jnp.pad(x, ((0, 0), (1, 1), (1, 1), (0, 0))).reshape(b, hp * wp, c)
-    offset_f = offset.reshape(b, hw, 18)
-    mask_f = mask.reshape(b, hw, 9)
-    w_taps = weight.reshape(9, c, o)
+    br = h if h <= 2 * block_rows else block_rows
+    nrb = -(-h // br)
+    hb = nrb * br
 
-    kernel = functools.partial(_dcn_kernel, h=h, w=w, o=o)
+    xp = jnp.pad(
+        x.astype(jnp.bfloat16),
+        ((0, 0), (pad, pad + (hb - h)), (pad, pad), (0, 0)),
+    )
+    hp, wp = hb + 2 * pad, w + 2 * pad
+    off_p = jnp.pad(offset.astype(jnp.float32),
+                    ((0, 0), (0, hb - h), (0, 0), (0, 0)))
+    mask_p = jnp.pad(mask.astype(jnp.float32),
+                     ((0, 0), (0, hb - h), (0, 0), (0, 0)))
+    w_taps = weight.reshape(9, c, o).astype(jnp.bfloat16)
+
+    kernel = functools.partial(
+        _dcn_shift_kernel, br=br, w=w, c=c, o=o, pad=pad, r=r
+    )
     out = pl.pallas_call(
         kernel,
-        grid=(b,),
+        grid=(b, nrb),
         in_specs=[
-            pl.BlockSpec((1, hp * wp, c), lambda i: (i, 0, 0),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, hw, 18), lambda i: (i, 0, 0),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, hw, 9), lambda i: (i, 0, 0),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((9, c, o), lambda i: (0, 0, 0),
-                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, br, w, 18), lambda bi, ri: (bi, ri, 0, 0)),
+            pl.BlockSpec((1, br, w, 9), lambda bi, ri: (bi, ri, 0, 0)),
+            pl.BlockSpec((1, hp, wp, c), lambda bi, ri: (bi, 0, 0, 0)),
+            pl.BlockSpec((9, c, o), lambda bi, ri: (0, 0, 0)),
         ],
-        out_specs=pl.BlockSpec((1, hw, o), lambda i: (i, 0, 0),
-                               memory_space=pltpu.VMEM),
-        out_shape=jax.ShapeDtypeStruct((b, hw, o), x.dtype),
+        out_specs=pl.BlockSpec((1, br, w, o), lambda bi, ri: (bi, ri, 0, 0)),
+        out_shape=jax.ShapeDtypeStruct((b, hb, w, o), x.dtype),
+        scratch_shapes=[
+            pltpu.VMEM((br, w, c), jnp.float32),
+            pltpu.VMEM((br * w, o), jnp.float32),
+        ],
         interpret=interpret,
-    )(xp, offset_f, mask_f, w_taps)
-    out = out.reshape(b, h, w, o)
+    )(off_p, mask_p, xp, w_taps)
+    out = out[:, :h]
     if bias is not None:
-        out = out + bias
+        out = out + bias.astype(out.dtype)
     return out
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(5, 6))
+def deform_conv2d_fast(x, offset, mask, weight, bias,
+                       max_offset: float = 8.0, interpret: bool = False):
+    """Trainable DCNv2: Pallas shifted-window forward, XLA-formulation VJP.
+
+    Forward clamps offsets to ±max_offset (see module docstring); the
+    backward pass differentiates the unclamped XLA path — identical
+    gradients whenever offsets are in range.
+    """
+    return deform_conv2d_pallas(
+        x, offset, mask, weight, bias,
+        max_offset=max_offset, interpret=interpret,
+    )
+
+
+def _fast_fwd(x, offset, mask, weight, bias, max_offset, interpret):
+    out = deform_conv2d_fast(x, offset, mask, weight, bias,
+                             max_offset, interpret)
+    return out, (x, offset, mask, weight, bias)
+
+
+def _fast_bwd(max_offset, interpret, res, g):
+    x, offset, mask, weight, bias = res
+    has_bias = bias is not None
+
+    def f(x, offset, mask, weight, bias):
+        return _deform_conv2d_xla(
+            x, offset, mask, weight, bias if has_bias else None
+        )
+
+    _, vjp = jax.vjp(f, x, offset, mask, weight,
+                     bias if has_bias else jnp.zeros((weight.shape[-1],),
+                                                     weight.dtype))
+    dx, doff, dmask, dw, db = vjp(g.astype(jnp.float32))
+    return dx, doff, dmask, dw, (db if has_bias else None)
+
+
+deform_conv2d_fast.defvjp(_fast_fwd, _fast_bwd)

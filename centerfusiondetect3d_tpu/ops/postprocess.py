@@ -19,9 +19,12 @@ def post_process(y: dict, trans_mat, output_size, calibs, is_gt: bool = False) -
 
     Args:
         y: decode output dict (scores/classIds/centers/bboxes/...).
-        trans_mat: (2, 3) inverse affine matrix (output plane -> original
-            image), host-computed via ``geometry.get_affine_transform(...,
-            inverse=True)``.
+        trans_mat: (2, 3) shared or (B, 2, 3) per-image inverse affine
+            matrices (output plane -> original image), host-computed via
+            ``geometry.get_affine_transform(..., inverse=True)``. Per-image
+            matrices match the reference, which inverse-warps each image
+            with its own center/scale (postProcess.py:31-43) — required for
+            mixed-size inputs.
         output_size: (H, W) of the output plane.
         calibs: (B, 3, 4) camera matrices.
         is_gt: ground-truth mode (reference semantics: skip amodal shift).
@@ -33,10 +36,15 @@ def post_process(y: dict, trans_mat, output_size, calibs, is_gt: bool = False) -
     y = dict(y)
     out_h, out_w = output_size
     trans_mat = jnp.asarray(trans_mat, jnp.float32)
-    lin, off = trans_mat[:, :2], trans_mat[:, 2]
 
-    def affine(points):  # (..., 2) -> (..., 2)
-        return points @ lin.T + off
+    def affine(points):  # (B, ..., 2) -> (B, ..., 2)
+        if trans_mat.ndim == 2:
+            return points @ trans_mat[:, :2].T + trans_mat[:, 2]
+        lin, off = trans_mat[:, :, :2], trans_mat[:, :, 2]
+        b = points.shape[0]
+        flat = points.reshape(b, -1, 2)
+        out = jnp.einsum("bkj,bij->bki", flat, lin) + off[:, None, :]
+        return out.reshape(points.shape)
 
     y["classIds"] = y["classIds"] + 1
     y["centers"] = y["centers"] * jnp.array([out_w, out_h], jnp.float32)

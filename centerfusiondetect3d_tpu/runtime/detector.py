@@ -33,6 +33,31 @@ except ImportError:  # pragma: no cover
     cv2 = None
 
 
+def _cross_scale_nms(items: List[dict], dist_thresh: float = 0.75) -> List[dict]:
+    """Greedy BEV center-distance NMS over score-sorted detection items.
+
+    Two detections of the same class whose ground-plane (x, z) centers lie
+    within ``dist_thresh`` meters are duplicates of one object — the lower
+    scoring one is dropped. 0.75 m is below the tightest nuScenes matching
+    threshold (0.5 m) times safety margin against suppressing true
+    neighbors while catching multi-scale self-duplicates.
+    """
+    kept: List[dict] = []
+    for it in items:
+        loc = np.asarray(it["location"], np.float32)
+        dup = False
+        for kt in kept:
+            if kt["class"] != it["class"]:
+                continue
+            kloc = np.asarray(kt["location"], np.float32)
+            if (loc[0] - kloc[0]) ** 2 + (loc[2] - kloc[2]) ** 2 < dist_thresh**2:
+                dup = True
+                break
+        if not dup:
+            kept.append(it)
+    return kept
+
+
 class Detector:
     STAGES = ("load", "preprocess", "net", "merge", "total")
 
@@ -160,10 +185,16 @@ class Detector:
 
     def process(self, batch, metas):
         oh, ow = self.config.MODEL.OUTPUT_SIZE
-        center, scale = metas[0]["center"], metas[0]["scale"]
-        trans_inv = get_affine_transform(
-            center, scale, 0, (ow, oh), inverse=True
-        ).astype(np.float32)
+        # per-image inverse matrices: folders/videos may mix frame sizes
+        # (reference postProcess.py:31-43 applies one matrix per image)
+        trans_inv = np.stack(
+            [
+                get_affine_transform(
+                    m["center"], m["scale"], 0, (ow, oh), inverse=True
+                ).astype(np.float32)
+                for m in metas
+            ]
+        )
         return self._infer(
             self.variables,
             jnp.asarray(batch["image"]),
@@ -204,7 +235,13 @@ class Detector:
 
     def _merge_scales(self, per_scale_results) -> Dict[int, List[dict]]:
         """Concatenate per-scale detections (already in original-image/camera
-        coordinates) and keep the top-K by score per image."""
+        coordinates), suppress cross-scale duplicates, and keep the top-K by
+        score per image.
+
+        The same object detected at several scales yields near-coincident
+        boxes that would otherwise all survive and score as false positives
+        under the nuScenes greedy matcher; greedy center-distance NMS (the
+        same association metric the nuScenes eval uses) keeps one."""
         k = int(self.config.MODEL.K)
         merged: Dict[int, List[dict]] = {}
         for results in per_scale_results:
@@ -212,8 +249,63 @@ class Detector:
                 merged.setdefault(img_id, []).extend(items)
         for img_id in merged:
             merged[img_id].sort(key=lambda it: -it["score"])
-            merged[img_id] = merged[img_id][:k]
+            merged[img_id] = _cross_scale_nms(merged[img_id])[:k]
         return merged
+
+    # ------------------------------------------------------------- streaming
+    def run_stream(self, frames, prefetch: int = 2, depth: int = 2):
+        """Pipelined inference over an iterable of frames.
+
+        ``frames`` yields (images, img_infos, radar_pcs) tuples (same
+        arguments as ``run``). Host work (decode + affine warp + radar
+        rasterize) runs in a background thread ``prefetch`` batches ahead,
+        and up to ``depth`` device programs stay in flight, so JPEG decode
+        and TPU compute overlap instead of serializing — the reference's
+        DataLoader-with-workers arrangement (detector.py:44-155 +
+        main.py:98-122) re-designed for a single streaming process.
+
+        Yields the same result dict as ``run`` per input batch.
+        """
+        import queue as _queue
+        import threading as _threading
+
+        pre_q: _queue.Queue = _queue.Queue(maxsize=max(1, prefetch))
+        _END = object()
+        err: List[BaseException] = []
+
+        def producer():
+            try:
+                for item in frames:
+                    images, img_infos, radar_pcs = item
+                    imgs = self.load_data(images)
+                    batch, metas = self.pre_process(imgs, img_infos, radar_pcs)
+                    pre_q.put((batch, metas))
+            except BaseException as e:  # propagate into the consumer
+                err.append(e)
+            finally:
+                pre_q.put(_END)
+
+        t = _threading.Thread(target=producer, daemon=True)
+        t.start()
+
+        inflight: List = []
+        while True:
+            item = pre_q.get()
+            if item is _END:
+                break
+            batch, metas = item
+            processed, extras = self.process(batch, metas)
+            inflight.append((processed, extras, metas))
+            if len(inflight) >= depth:
+                yield self._finalize_stream(*inflight.pop(0))
+        for entry in inflight:
+            yield self._finalize_stream(*entry)
+        if err:
+            raise err[0]
+
+    def _finalize_stream(self, processed, extras, metas) -> Dict:
+        results = self.merge_outputs(processed)
+        return {"results": results, "metas": metas, "extras": extras}
 
     # ------------------------------------------------------------------ run
     def run(self, images, img_infos=None, radar_pcs=None) -> Dict:

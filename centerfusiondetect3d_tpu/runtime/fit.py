@@ -109,8 +109,13 @@ class Trainer:
         cfg = self.config
         loader = Loader(
             self.dataset_train, cfg.TRAIN.BATCH_SIZE, shuffle=cfg.TRAIN.SHUFFLE,
-            seed=cfg.RANDOM_SEED, num_threads=cfg.WORKERS,
+            seed=cfg.RANDOM_SEED, num_threads=cfg.WORKERS, augment=True,
         )
+        if not cfg.TRAIN.SHUFFLE:
+            self.logger.warning(
+                "TRAIN.SHUFFLE is off: data order is sequential but "
+                "augmentation remains active"
+            )
         first = None
         for first in loader:
             break
@@ -242,17 +247,24 @@ class Trainer:
         for batch in loader:
             meta = batch.pop("meta", None)
             jbatch = shard_batch(batch, self.mesh)
+            nimg = batch["image"].shape[0]
             if meta is not None:
-                center = np.asarray(meta["center"][0])
-                scale = np.asarray(meta["scale"][0])
+                centers = np.asarray(meta["center"], np.float32)
+                scales = np.asarray(meta["scale"], np.float32)
             else:
                 w = self.dataset_val.default_resolution[1]
                 h = self.dataset_val.default_resolution[0]
-                center = np.array([w / 2, h / 2], np.float32)
-                scale = max(h, w)
-            trans_mat = get_affine_transform(
-                center, scale, 0, (ow, oh), inverse=True
-            ).astype(np.float32)
+                centers = np.tile(np.array([w / 2, h / 2], np.float32), (nimg, 1))
+                scales = np.full((nimg,), max(h, w), np.float32)
+            # per-image inverse matrices (reference postProcess.py:31-43)
+            trans_mat = np.stack(
+                [
+                    get_affine_transform(
+                        centers[i], scales[i], 0, (ow, oh), inverse=True
+                    ).astype(np.float32)
+                    for i in range(nimg)
+                ]
+            )
             processed, loss, parts = self._eval_step(self.state, jbatch, trans_mat)
             meters["total"].update(float(loss))
             for k_, v in parts.items():

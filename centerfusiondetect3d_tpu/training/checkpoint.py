@@ -32,16 +32,28 @@ except ImportError:  # pragma: no cover
 
 def save_checkpoint(directory: str, state, epoch: int, history=None,
                     keep_alias: bool = True):
-    """Save {params, batch_stats, opt_state, epoch, history} under
-    directory/model_{epoch} (+ model_last alias)."""
+    """Save {params, batch_stats, opt_state, step, epoch, history} under
+    directory/model_{epoch} (+ model_last alias).
+
+    ``opt_state`` (AdamW moments / SGD momentum + the injected LR) is stored
+    as a flat leaf dict so resume is step-identical — the reference persists
+    the torch optimizer state the same way
+    (/root/reference/src/lib/utils/utils.py:197-218,
+    model/model.py:150-152). The tree structure is rebuilt at resume time
+    from the live TrainState's own opt_state treedef.
+    """
     import jax
 
     assert ocp is not None, "orbax unavailable"
     directory = os.path.abspath(directory)
     os.makedirs(directory, exist_ok=True)
+    opt_leaves = jax.tree.leaves(jax.device_get(state.opt_state))
     payload = {
         "params": jax.device_get(state.params),
         "batch_stats": jax.device_get(state.batch_stats),
+        "opt_state": {f"{i:04d}": np.asarray(leaf)
+                      for i, leaf in enumerate(opt_leaves)},
+        "step": np.asarray(jax.device_get(state.step)),
         "epoch": np.int64(epoch),
         "history": history or {},
     }
@@ -63,11 +75,40 @@ def load_checkpoint(path: str) -> Dict[str, Any]:
 
 
 def resume_state(path: str, state):
-    """Restore params/batch_stats into a TrainState; returns (state, start_epoch)."""
+    """Restore a TrainState for step-identical resume.
+
+    Returns (state, start_epoch). ``opt_state`` leaves are re-hung on the
+    live state's treedef (same optimizer => same structure); if the leaf
+    count or shapes mismatch (optimizer changed between runs), falls back to
+    params-only restore with a warning — the same elastic behavior the
+    reference's loadModel applies to the torch optimizer
+    (/root/reference/src/lib/model/model.py:129-162).
+    """
+    import warnings
+
+    import jax
+
     payload = load_checkpoint(path)
     state = state.replace(
         params=payload["params"], batch_stats=payload["batch_stats"]
     )
+    saved = payload.get("opt_state")
+    if saved is not None:
+        leaves = [saved[k] for k in sorted(saved)]
+        live_leaves, treedef = jax.tree.flatten(state.opt_state)
+        if len(leaves) == len(live_leaves) and all(
+            np.shape(a) == np.shape(b) for a, b in zip(leaves, live_leaves)
+        ):
+            state = state.replace(opt_state=jax.tree.unflatten(treedef, leaves))
+        else:
+            warnings.warn(
+                "checkpoint opt_state does not match the current optimizer "
+                "structure; resuming with a fresh optimizer state"
+            )
+    if "step" in payload:
+        import jax.numpy as jnp
+
+        state = state.replace(step=jnp.asarray(payload["step"], jnp.int32))
     return state, int(payload.get("epoch", -1)) + 1
 
 

@@ -1,0 +1,334 @@
+"""Generate golden parity fixtures by RUNNING the torch reference.
+
+Executes the reference implementation (/root/reference/src/lib) on seeded
+synthetic inputs and saves input+output arrays as npz fixtures under
+``tests/fixtures/``. The matching tests in ``tests/test_golden_parity.py``
+skip unless a fixture exists, so parity against the actual reference is a
+one-command procedure on any machine that has torch:
+
+    python scripts/make_goldens.py [--ref /path/to/reference/src/lib]
+                                   [--out tests/fixtures]
+
+Components needing only CPU torch (decode, loss primitives, LR schedule,
+Conv+BN stats) generate everywhere; the DCN golden additionally needs
+torchvision and is skipped with a notice when it is absent. Modules that
+the reference imports but never touches in these paths (nuscenes devkit,
+pyquaternion) are stubbed.
+"""
+
+from __future__ import annotations
+
+import argparse
+import os
+import sys
+import types
+
+import numpy as np
+
+
+def _stub(name, **attrs):
+    mod = types.ModuleType(name)
+    for k, v in attrs.items():
+        setattr(mod, k, v)
+    sys.modules[name] = mod
+    return mod
+
+
+def install_stubs():
+    """Stub the devkit imports losses.py pulls in transitively but does not
+    execute in the loss paths we capture."""
+    _stub("nuscenes")
+    _stub("nuscenes.utils")
+    _stub("nuscenes.utils.data_classes", RadarPointCloud=object)
+    _stub(
+        "nuscenes.utils.geometry_utils",
+        view_points=lambda *a, **k: None,
+        transform_matrix=lambda *a, **k: None,
+    )
+    _stub("pyquaternion", Quaternion=object)
+    _stub("lightning")
+    _stub("lightning.pytorch")
+    _stub("lightning.pytorch.utilities",
+          rank_zero_only=lambda fn, *a, **k: fn)
+    try:
+        import torchvision  # noqa: F401
+    except ImportError:
+        # model/__init__.py imports dla.py which imports torchvision at
+        # module scope; the decode/loss paths never call it
+        tv = _stub("torchvision")
+        tv.__stub__ = True
+        _stub("torchvision.ops", deform_conv2d=None)
+
+
+def gen_decode(torch, out_dir):
+    from model.decode import fusionDecode
+
+    rs = np.random.RandomState(42)
+    b, c, h, w, k = 2, 10, 16, 24, 8
+
+    def heads(seed, secondary=False):
+        r = np.random.RandomState(seed)
+        d = {
+            "heatmap": 1 / (1 + np.exp(-r.randn(b, c, h, w))),
+            "reg": r.randn(b, 2, h, w),
+            "widthHeight": np.abs(r.randn(b, 2, h, w)) * 4,
+            "depth": np.abs(r.randn(b, 1, h, w)) * 20,
+            "rotation": r.randn(b, 8, h, w),
+            "dimension": np.abs(r.randn(b, 3, h, w)) + 0.5,
+            "amodal_offset": r.randn(b, 2, h, w),
+            "nuscenes_att": r.randn(b, 8, h, w),
+            "velocity": r.randn(b, 3, h, w),
+        }
+        if secondary:
+            d["depth2"] = np.abs(r.randn(b, 1, h, w)) * 20
+            d["rotation2"] = r.randn(b, 8, h, w)
+            d["uncertainty"] = r.randn(b, 1, h, w)
+        return {key: v.astype(np.float32) for key, v in d.items()}
+
+    for name, layers in [
+        ("decode_single_layer", [heads(1, secondary=True)]),
+        ("decode_two_layer", [heads(2), heads(3)]),
+    ]:
+        t_layers = [
+            {k2: torch.from_numpy(v) for k2, v in lay.items()} for lay in layers
+        ]
+        ret = fusionDecode(t_layers, outputSize=(h, w), K=k, norm2d=False)
+        blob = {}
+        for i, lay in enumerate(layers):
+            for k2, v in lay.items():
+                blob[f"in{i}_{k2}"] = v
+        for k2, v in ret.items():
+            blob[f"out_{k2}"] = v.detach().numpy()
+        blob["meta_hwk"] = np.array([h, w, k])
+        np.savez(os.path.join(out_dir, f"{name}.npz"), **blob)
+        print(f"wrote {name}.npz ({len(blob)} arrays)")
+
+
+def gen_losses(torch, out_dir):
+    import model.losses as L
+
+    rs = np.random.RandomState(7)
+    b, c, h, w, m = 2, 10, 16, 24, 12
+    hw = h * w
+
+    out = 1 / (1 + np.exp(-rs.randn(b, c, h, w).astype(np.float32) * 2))
+    target = np.zeros((b, c, h, w), np.float32)
+    ind = rs.randint(0, hw, (b, m)).astype(np.int64)
+    cat = rs.randint(0, c, (b, m)).astype(np.int64)
+    mask = (rs.rand(b, m) > 0.3).astype(np.float32)
+    # plant gaussian-ish peaks at the annotated indices
+    for bi in range(b):
+        for mi in range(m):
+            if mask[bi, mi]:
+                target[bi, cat[bi, mi]].flat[ind[bi, mi]] = 1.0
+
+    t = lambda x: torch.from_numpy(np.asarray(x))
+    blob = dict(out=out, target=target, ind=ind, cat=cat, mask=mask)
+
+    blob["out_focal"] = (
+        L.FastFocalLoss()(t(out), t(target), t(ind), t(mask), t(cat)).numpy()
+    )
+
+    reg_out = rs.randn(b, 3, h, w).astype(np.float32)
+    reg_target = rs.randn(b, m, 3).astype(np.float32)
+    reg_mask = np.repeat(mask[..., None], 3, axis=2).astype(np.float32)
+    blob.update(reg_out=reg_out, reg_target=reg_target, reg_mask=reg_mask)
+    blob["out_regl1"] = (
+        L.RegWeightedL1Loss()(t(reg_out), t(reg_mask), t(ind), t(reg_target)).numpy()
+    )
+
+    att_out = rs.randn(b, 8, h, w).astype(np.float32)
+    att_target = (rs.rand(b, m, 8) > 0.5).astype(np.float32)
+    att_mask = np.repeat(mask[..., None], 8, axis=2).astype(np.float32)
+    blob.update(att_out=att_out, att_target=att_target, att_mask=att_mask)
+    blob["out_wbce"] = (
+        L.WeightedBCELoss()(t(att_out), t(att_mask), t(ind), t(att_target)).numpy()
+    )
+
+    rot_out = rs.randn(b, 8, h, w).astype(np.float32)
+    rotbin = rs.randint(0, 2, (b, m, 2)).astype(np.int64)
+    rotres = (rs.randn(b, m, 2) * 0.4).astype(np.float32)
+    rot_mask = mask[..., None].astype(np.float32)
+    blob.update(rot_out=rot_out, rotbin=rotbin, rotres=rotres, rot_mask=rot_mask)
+    blob["out_binrot"] = (
+        L.BinRotLoss()(t(rot_out), t(rot_mask), t(ind), t(rotbin), t(rotres)).numpy()
+    )
+
+    dep_out = np.abs(rs.randn(b, 1, h, w).astype(np.float32)) * 10
+    dep_target = np.abs(rs.randn(b, m, 1).astype(np.float32)) * 10
+    unc_out = rs.randn(b, 1, h, w).astype(np.float32)
+    dep_mask = mask[..., None].astype(np.float32)
+    blob.update(dep_out=dep_out, dep_target=dep_target, unc_out=unc_out,
+                dep_mask=dep_mask)
+    l, ul = L.UncertaintyDepthLoss()(
+        t(dep_out), t(dep_mask), t(ind), t(dep_target), t(unc_out)
+    )
+    blob["out_unc_l1"] = l.numpy()
+    blob["out_unc_unc"] = ul.numpy()
+
+    trunc = (rs.rand(b, m, 1) > 0.7).astype(np.float32)
+    blob["trunc"] = trunc
+    blob["out_decoupled"] = (
+        L.DecoupledLoss()(
+            t(dep_out), t(dep_mask), t(ind), t(dep_target), t(trunc)
+        ).numpy()
+    )
+
+    boxes_p = rs.rand(b, m, 4).astype(np.float32) * 30
+    boxes_p[..., 2:] += boxes_p[..., :2]
+    boxes_t = boxes_p + rs.randn(b, m, 4).astype(np.float32) * 2
+    boxes_t[..., 2:] = np.maximum(boxes_t[..., 2:], boxes_t[..., :2] + 1)
+    blob.update(boxes_p=boxes_p, boxes_t=boxes_t)
+    blob["out_giou"] = L.GIoU2DLoss()(t(boxes_p), t(boxes_t), t(mask)).numpy()
+
+    np.savez(os.path.join(out_dir, "losses.npz"), **blob)
+    print(f"wrote losses.npz ({len(blob)} arrays)")
+
+
+def gen_schedule(torch, out_dir):
+    """Torch LR-schedule traces built EXACTLY as the reference composes its
+    StepLR scheduler (modelWithLoss.py:129-193: SequentialLR of warmup
+    LambdaLR + MultiStepLR segments split at DEFREEZE)."""
+    from torch.optim.lr_scheduler import (
+        LambdaLR,
+        MultiStepLR,
+        SequentialLR,
+    )
+
+    base_lr = 2.5e-4
+
+    def trace(warm, defreeze, steps, start_epoch, epochs=80):
+        net = torch.nn.Linear(4, 4)
+        opt = torch.optim.Adam(net.parameters(), lr=base_lr)
+        warmup_factor = lambda step: 0.5 ** (warm - step)
+        schedulers, milestones = [], []
+        if warm:
+            schedulers.append(LambdaLR(opt, lr_lambda=warmup_factor))
+            milestones.append(warm)
+        if defreeze > start_epoch:
+            milestones2 = [
+                s - start_epoch - warm for s in steps if s < defreeze
+            ]
+            schedulers.append(MultiStepLR(opt, milestones=milestones2,
+                                          gamma=0.1))
+            milestones.append(defreeze - start_epoch)
+            if warm:
+                schedulers.append(LambdaLR(opt, lr_lambda=warmup_factor))
+                milestones.append(defreeze + warm - start_epoch)
+        s4 = [
+            s - warm - max(defreeze, start_epoch)
+            for s in steps
+            if s >= defreeze
+        ]
+        schedulers.append(MultiStepLR(opt, milestones=s4, gamma=0.1))
+        sched = SequentialLR(opt, schedulers, milestones=milestones)
+        lrs = []
+        for _ in range(epochs):
+            lrs.append(opt.param_groups[0]["lr"])
+            opt.step()
+            sched.step()
+        return np.array(lrs, np.float64)
+
+    np.savez(
+        os.path.join(out_dir, "schedule.npz"),
+        base_lr=np.float64(base_lr),
+        warm_only=trace(warm=5, defreeze=-1, steps=(50, 70), start_epoch=0),
+        warm_defreeze=trace(warm=5, defreeze=10, steps=(50, 70),
+                            start_epoch=0),
+        no_warm=trace(warm=0, defreeze=-1, steps=(50, 70), start_epoch=0),
+    )
+    print("wrote schedule.npz")
+
+
+def gen_convbn(torch, out_dir):
+    """Conv2d + BatchNorm2d(momentum=0.1) goldens: train-mode output,
+    updated running stats after 3 steps, and eval-mode output — validates
+    the flax BN parity (momentum/eps/bias conventions)."""
+    rs = np.random.RandomState(3)
+    conv = torch.nn.Conv2d(6, 8, 3, padding=1, bias=False)
+    bn = torch.nn.BatchNorm2d(8, momentum=0.1, eps=1e-5)
+    with torch.no_grad():
+        conv.weight.copy_(torch.from_numpy(
+            rs.randn(8, 6, 3, 3).astype(np.float32) * 0.2))
+        bn.weight.copy_(torch.from_numpy(
+            np.abs(rs.randn(8)).astype(np.float32) + 0.5))
+        bn.bias.copy_(torch.from_numpy(rs.randn(8).astype(np.float32)))
+
+    xs = [rs.randn(2, 6, 10, 12).astype(np.float32) for _ in range(3)]
+    outs = []
+    conv.train(); bn.train()
+    with torch.no_grad():
+        for x in xs:
+            outs.append(bn(conv(torch.from_numpy(x))).numpy())
+    conv.eval(); bn.eval()
+    with torch.no_grad():
+        eval_out = bn(conv(torch.from_numpy(xs[0]))).numpy()
+    np.savez(
+        os.path.join(out_dir, "convbn.npz"),
+        conv_w=conv.weight.detach().numpy(),
+        bn_w=bn.weight.detach().numpy(),
+        bn_b=bn.bias.detach().numpy(),
+        x0=xs[0], x1=xs[1], x2=xs[2],
+        out0=outs[0], out1=outs[1], out2=outs[2],
+        running_mean=bn.running_mean.numpy(),
+        running_var=bn.running_var.numpy(),
+        eval_out=eval_out,
+    )
+    print("wrote convbn.npz")
+
+
+def gen_dcn(torch, out_dir):
+    """DCNv2 golden via torchvision (skipped when torchvision is absent)."""
+    try:
+        from torchvision.ops import deform_conv2d as tv_dcn
+    except ImportError:
+        tv_dcn = None
+    if tv_dcn is None:  # absent or stubbed by install_stubs
+        print("torchvision absent -> dcn.npz SKIPPED "
+              "(run this script on a torchvision machine to enable the "
+              "DCN parity test)")
+        return
+    rs = np.random.RandomState(11)
+    b, c, o, h, w = 2, 8, 16, 12, 14
+    x = rs.randn(b, c, h, w).astype(np.float32)
+    offset = (rs.randn(b, 18, h, w) * 2).astype(np.float32)
+    mask = rs.rand(b, 9, h, w).astype(np.float32)
+    weight = (rs.randn(o, c, 3, 3) * 0.2).astype(np.float32)
+    bias = rs.randn(o).astype(np.float32)
+    t = torch.from_numpy
+    out = tv_dcn(t(x), t(offset), t(weight), t(bias), padding=(1, 1),
+                 mask=t(mask)).numpy()
+    np.savez(os.path.join(out_dir, "dcn.npz"), x=x, offset=offset, mask=mask,
+             weight=weight, bias=bias, out=out)
+    print("wrote dcn.npz")
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--ref", default="/root/reference/src/lib")
+    ap.add_argument(
+        "--out",
+        default=os.path.join(os.path.dirname(__file__), "..", "tests",
+                             "fixtures"),
+    )
+    args = ap.parse_args()
+
+    import torch
+
+    torch.manual_seed(0)
+    install_stubs()
+    sys.path.insert(0, os.path.abspath(args.ref))
+    # tune_mode_convbn lives one level up (src/), mirroring _init_paths.py
+    sys.path.insert(0, os.path.dirname(os.path.abspath(args.ref)))
+    out_dir = os.path.abspath(args.out)
+    os.makedirs(out_dir, exist_ok=True)
+
+    gen_decode(torch, out_dir)
+    gen_losses(torch, out_dir)
+    gen_schedule(torch, out_dir)
+    gen_convbn(torch, out_dir)
+    gen_dcn(torch, out_dir)
+
+
+if __name__ == "__main__":
+    main()

@@ -166,3 +166,60 @@ def test_import_legacy_names(model_setup):
     )
     assert not report["missing"], report["missing"][:8]
     assert not report["shape_mismatch"]
+
+
+def test_resume_is_step_identical(tmp_path, model_setup):
+    """N optimizer updates == N/2 updates + save/resume + N/2 updates.
+
+    Guards the opt_state payload: without persisted AdamW moments + step,
+    the resumed run diverges immediately.
+    """
+    cfg, model, variables = model_setup
+
+    def fake_grads(params, seed):
+        leaves, treedef = jax.tree.flatten(params)
+        return jax.tree.unflatten(
+            treedef,
+            [jnp.full_like(l, 1e-3 * ((seed + i) % 5 - 2))
+             for i, l in enumerate(leaves)],
+        )
+
+    def run(state, start, n):
+        for s in range(start, start + n):
+            state = state.apply_gradients(fake_grads(state.params, s))
+        return state
+
+    straight = run(create_train_state(cfg, model, variables), 0, 4)
+
+    half = run(create_train_state(cfg, model, variables), 0, 2)
+    path = save_checkpoint(str(tmp_path / "ck"), half, epoch=1)
+    fresh = create_train_state(cfg, model, variables)
+    restored, _ = resume_state(path, fresh)
+    assert int(restored.step) == 2
+    resumed = run(restored, 2, 2)
+
+    for a, b in zip(jax.tree.leaves(straight.params),
+                    jax.tree.leaves(resumed.params)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   rtol=1e-6, atol=1e-7)
+
+
+def test_resume_optimizer_mismatch_falls_back(tmp_path, model_setup):
+    import warnings
+
+    from centerfusiondetect3d_tpu.config import load_config as _lc
+
+    cfg, model, variables = model_setup
+    state = create_train_state(cfg, model, variables)
+    path = save_checkpoint(str(tmp_path / "ck2"), state, epoch=0)
+
+    sgd_cfg = _lc(
+        opts=["MODEL.INPUT_SIZE", "(64, 64)", "MODEL.DLA.NODE", "DeformConv",
+              "MIXED_PRECISION", "False", "TRAIN.OPTIMIZER", "sgd"],
+        num_classes=10,
+    )
+    sgd_state = create_train_state(sgd_cfg, model, variables)
+    with warnings.catch_warnings(record=True) as caught:
+        warnings.simplefilter("always")
+        restored, _ = resume_state(path, sgd_state)
+    assert any("opt_state" in str(w.message) for w in caught)

@@ -152,3 +152,21 @@ def test_end_to_end_loss_on_real_items(cfg):
     )
     total, parts = GenericLoss(cfg)(outs, batch)
     assert np.isfinite(float(total)), parts
+
+
+def test_loader_augments_without_shuffle(cfg):
+    """augment=True must enable training augmentation even with shuffle off
+    (augmentation was silently coupled to shuffling in round 1)."""
+    ds = get_dataset("nuscenes")(cfg, "train")
+    plain = Loader(ds, batch_size=2, shuffle=False, prefetch=0, seed=11)
+    auged = Loader(ds, batch_size=2, shuffle=False, prefetch=0, seed=11,
+                   augment=True)
+    b_plain = next(iter(plain))
+    b_aug = next(iter(auged))
+    # same samples in the same order, but the augmented images differ
+    assert b_plain["image"].shape == b_aug["image"].shape
+    assert not np.array_equal(b_plain["image"], b_aug["image"])
+    # and augmentation stays reproducible under the seed
+    b_aug2 = next(iter(Loader(ds, batch_size=2, shuffle=False, prefetch=0,
+                              seed=11, augment=True)))
+    np.testing.assert_array_equal(b_aug["image"], b_aug2["image"])

@@ -77,3 +77,40 @@ def test_detector_multi_scale(rng):
     # the scaled detector was created and compiled at a 32-aligned size
     assert 0.5 in det._scaled
     assert det._scaled[0.5].config.MODEL.INPUT_SIZE == (32, 64)
+
+
+def test_detector_mixed_size_batch(detector, rng):
+    """Two different-size images in one batch get per-image inverse affines:
+    the same network output maps to each image's own pixel frame."""
+    cfg = detector.config
+    det2 = Detector(cfg, variables=detector.variables, batch_size=2)
+    img_a = (rng.rand(240, 320, 3) * 255).astype(np.uint8)
+    img_b = (rng.rand(480, 800, 3) * 255).astype(np.uint8)
+    ret = det2.run([img_a, img_b],
+                   radar_pcs=[np.zeros((18, 0), np.float32)] * 2)
+    assert set(ret["results"]) == {0, 1}
+    for img_id, (h, w) in [(0, (240, 320)), (1, (480, 800))]:
+        for it in ret["results"][img_id]:
+            x1, y1, x2, y2 = it["bbox"]
+            # boxes live in the image's own pixel frame (pad ring allowed:
+            # the square letterbox warp can map slightly outside)
+            assert -w <= x1 <= 2 * w and -h <= y1 <= 2 * h
+
+
+def test_cross_scale_nms_dedups():
+    from centerfusiondetect3d_tpu.runtime.detector import _cross_scale_nms
+
+    mk = lambda score, cls, x, z: {
+        "score": score, "class": cls,
+        "location": np.array([x, 1.0, z], np.float32),
+    }
+    items = [
+        mk(0.9, 1.0, 10.0, 30.0),   # object A, best
+        mk(0.7, 1.0, 10.2, 30.1),   # A again at another scale -> dropped
+        mk(0.6, 1.0, 14.0, 30.0),   # distinct object, kept
+        mk(0.5, 2.0, 10.0, 30.0),   # same place, other class -> kept
+        mk(0.4, 1.0, 10.1, 29.9),   # A at a third scale -> dropped
+    ]
+    kept = _cross_scale_nms(items)
+    assert len(kept) == 3
+    assert [it["score"] for it in kept] == [0.9, 0.6, 0.5]

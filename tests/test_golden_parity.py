@@ -1,0 +1,221 @@
+"""Parity vs captured outputs of the actual torch reference.
+
+Fixtures are produced by ``scripts/make_goldens.py`` RUNNING the reference
+code (/root/reference/src/lib) on seeded inputs; each test here feeds the
+same inputs through this framework's jnp implementation and compares
+numerically. Tests skip when a fixture is absent (e.g. ``dcn.npz`` needs a
+torchvision machine to generate).
+"""
+
+from __future__ import annotations
+
+import os
+
+import numpy as np
+import jax.numpy as jnp
+import pytest
+
+FIXTURES = os.path.join(os.path.dirname(__file__), "fixtures")
+
+
+def _load(name):
+    path = os.path.join(FIXTURES, name)
+    if not os.path.exists(path):
+        pytest.skip(f"golden fixture {name} not generated "
+                    "(run scripts/make_goldens.py)")
+    return np.load(path)
+
+
+def _nhwc(x):
+    return jnp.asarray(np.transpose(x, (0, 2, 3, 1)))
+
+
+def _layers_from(blob, n):
+    layers = []
+    for i in range(n):
+        prefix = f"in{i}_"
+        lay = {
+            k[len(prefix):]: _nhwc(blob[k])
+            for k in blob.files
+            if k.startswith(prefix)
+        }
+        if lay:
+            layers.append(lay)
+    return layers
+
+
+@pytest.mark.parametrize("name,nlayers", [
+    ("decode_single_layer.npz", 1),
+    ("decode_two_layer.npz", 2),
+])
+def test_fusion_decode_matches_reference(name, nlayers):
+    from centerfusiondetect3d_tpu.ops import fusion_decode
+
+    blob = _load(name)
+    h, w, k = blob["meta_hwk"]
+    ret = fusion_decode(_layers_from(blob, nlayers), (int(h), int(w)),
+                        k=int(k), norm2d=False)
+    for key in blob.files:
+        if not key.startswith("out_"):
+            continue
+        want = blob[key]
+        got = np.asarray(ret[key[4:]])
+        np.testing.assert_allclose(
+            got, want, rtol=1e-4, atol=1e-4,
+            err_msg=f"{name}:{key[4:]} diverges from the torch reference",
+        )
+
+
+def test_loss_primitives_match_reference():
+    from centerfusiondetect3d_tpu.losses.primitives import (
+        bin_rot_loss,
+        decoupled_loss,
+        fast_focal_loss,
+        giou_2d,
+        reg_weighted_l1,
+        uncertainty_depth_loss,
+        weighted_bce,
+    )
+
+    g = _load("losses.npz")
+    j = jnp.asarray
+    ind = j(g["ind"].astype(np.int32))
+
+    checks = {
+        "out_focal": fast_focal_loss(
+            _nhwc(g["out"]), _nhwc(g["target"]), ind, j(g["mask"]),
+            j(g["cat"].astype(np.int32))
+        ),
+        "out_regl1": reg_weighted_l1(
+            _nhwc(g["reg_out"]), j(g["reg_mask"]), ind, j(g["reg_target"])
+        ),
+        "out_wbce": weighted_bce(
+            _nhwc(g["att_out"]), j(g["att_mask"]), ind, j(g["att_target"])
+        ),
+        "out_binrot": bin_rot_loss(
+            _nhwc(g["rot_out"]), j(g["rot_mask"][..., 0]), ind,
+            j(g["rotbin"].astype(np.int32)), j(g["rotres"])
+        ),
+        "out_decoupled": decoupled_loss(
+            _nhwc(g["dep_out"]), j(g["dep_mask"]), ind, j(g["dep_target"]),
+            j(g["trunc"])
+        ),
+        "out_giou": giou_2d(j(g["boxes_p"]), j(g["boxes_t"]), j(g["mask"])),
+    }
+    l1, unc = uncertainty_depth_loss(
+        _nhwc(g["dep_out"]), j(g["dep_mask"]), ind, j(g["dep_target"]),
+        _nhwc(g["unc_out"])
+    )
+    checks["out_unc_l1"] = l1
+    checks["out_unc_unc"] = unc
+
+    for key, got in checks.items():
+        np.testing.assert_allclose(
+            np.asarray(got), g[key], rtol=2e-4, atol=2e-5,
+            err_msg=f"{key} diverges from the torch reference",
+        )
+
+
+@pytest.mark.parametrize("key,warm,defreeze", [
+    ("warm_only", 5, -1),
+    ("warm_defreeze", 5, 10),
+    ("no_warm", 0, -1),
+])
+def test_lr_schedule_matches_torch_composite(key, warm, defreeze):
+    """The torch golden is SequentialLR(warmup LambdaLR + MultiStepLR
+    segments) built exactly as the reference does
+    (modelWithLoss.py:129-193)."""
+    from centerfusiondetect3d_tpu.training.schedule import learning_rate
+    from centerfusiondetect3d_tpu.config import load_config
+
+    g = _load("schedule.npz")
+    cfg = load_config(
+        opts=["TRAIN.LR", str(float(g["base_lr"])),
+              "TRAIN.LR_STEP", "(50, 70)",
+              "TRAIN.WARM_EPOCHS", str(warm),
+              "MODEL.FREEZE_BACKBONE", str(defreeze > 0),
+              "MODEL.DEFREEZE", str(defreeze)],
+        num_classes=10,
+    )
+    for epoch, want in enumerate(g[key]):
+        got = learning_rate(cfg, epoch, 0)
+        np.testing.assert_allclose(got, want, rtol=1e-9,
+                                   err_msg=f"{key} epoch {epoch}")
+
+
+def test_conv_bn_matches_torch():
+    """Flax Conv+BatchNorm with this repo's conventions reproduces torch's
+    outputs AND running-stat updates (momentum 0.1 torch == 0.9 flax)."""
+    import jax
+    from flax import linen as nn
+
+    from centerfusiondetect3d_tpu.models.layers import (
+        BN_MOMENTUM,
+        TorchBatchNorm,
+    )
+
+    g = _load("convbn.npz")
+
+    class ConvBn(nn.Module):
+        @nn.compact
+        def __call__(self, x, train: bool):
+            x = nn.Conv(8, (3, 3), padding=1, use_bias=False, name="conv")(x)
+            return TorchBatchNorm(
+                use_running_average=not train, momentum=BN_MOMENTUM,
+                epsilon=1e-5, name="bn",
+            )(x)
+
+    model = ConvBn()
+    x0 = _nhwc(g["x0"])
+    variables = model.init(jax.random.PRNGKey(0), x0, train=False)
+    params = {
+        "conv": {"kernel": jnp.asarray(np.transpose(g["conv_w"], (2, 3, 1, 0)))},
+        "bn": {"scale": jnp.asarray(g["bn_w"]), "bias": jnp.asarray(g["bn_b"])},
+    }
+    stats = variables["batch_stats"]
+
+    for i in range(3):
+        out, upd = model.apply(
+            {"params": params, "batch_stats": stats},
+            _nhwc(g[f"x{i}"]), train=True, mutable=["batch_stats"],
+        )
+        stats = upd["batch_stats"]
+        np.testing.assert_allclose(
+            np.transpose(np.asarray(out), (0, 3, 1, 2)), g[f"out{i}"],
+            rtol=2e-3, atol=2e-5, err_msg=f"train step {i}",
+        )
+    # torch normalizes batch var with N (biased) for the output but stores
+    # the UNBIASED var in running stats; flax must match both
+    np.testing.assert_allclose(np.asarray(stats["bn"]["mean"]),
+                               g["running_mean"], rtol=1e-4, atol=1e-6)
+    np.testing.assert_allclose(np.asarray(stats["bn"]["var"]),
+                               g["running_var"], rtol=1e-3, atol=1e-5)
+
+    eval_out = model.apply(
+        {"params": params, "batch_stats": stats}, x0, train=False
+    )
+    np.testing.assert_allclose(
+        np.transpose(np.asarray(eval_out), (0, 3, 1, 2)), g["eval_out"],
+        rtol=2e-3, atol=2e-5,
+    )
+
+
+def test_dcn_matches_torchvision():
+    from centerfusiondetect3d_tpu.ops.dcn import deform_conv2d
+    from centerfusiondetect3d_tpu.ops.pallas_dcn import deform_conv2d_pallas
+
+    g = _load("dcn.npz")
+    x = _nhwc(g["x"])
+    offset = _nhwc(g["offset"])
+    mask = _nhwc(g["mask"])
+    weight = jnp.asarray(np.transpose(g["weight"], (2, 3, 1, 0)))
+    bias = jnp.asarray(g["bias"])
+    want = np.transpose(g["out"], (0, 2, 3, 1))
+
+    got = np.asarray(deform_conv2d(x, offset, mask, weight, bias))
+    np.testing.assert_allclose(got, want, rtol=1e-4, atol=1e-4)
+
+    got_p = np.asarray(
+        deform_conv2d_pallas(x, offset, mask, weight, bias, interpret=True)
+    )
+    np.testing.assert_allclose(got_p, want, rtol=0.02, atol=0.15)

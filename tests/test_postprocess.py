@@ -70,3 +70,35 @@ def test_post_process_zeroes_invalid_dims():
     }
     r = post_process(y, trans, (out_h, out_w), jnp.asarray(_calib()))
     assert np.all(np.asarray(r["bboxes3d"]) == 0)
+
+
+def test_post_process_per_image_matrices():
+    """A (B, 2, 3) batch of inverse matrices applies per image — two images
+    with different original sizes map the SAME output-plane box to different
+    original-pixel boxes (reference postProcess.py:31-43)."""
+    out_h, out_w = 112, 200
+    t_small = get_affine_transform(
+        np.array([160.0, 120.0]), 320.0, 0, (out_w, out_h), inverse=True
+    )
+    t_large = get_affine_transform(
+        np.array([800.0, 450.0]), 1600.0, 0, (out_w, out_h), inverse=True
+    )
+    trans = np.stack([t_small, t_large]).astype(np.float32)
+    box = np.array([90.0, 50.0, 110.0, 62.0], np.float32)
+    y = {
+        "scores": jnp.array([[0.9], [0.8]]),
+        "classIds": jnp.zeros((2, 1)),
+        "centers": jnp.full((2, 1, 2), 0.5),
+        "bboxes": jnp.asarray(np.tile(box, (2, 1, 1))),
+    }
+    r = post_process(dict(y), trans, (out_h, out_w),
+                     jnp.asarray(np.tile(_calib(), (2, 1, 1))))
+    got_small = np.asarray(r["bboxes"][0, 0]).reshape(2, 2)
+    got_large = np.asarray(r["bboxes"][1, 0]).reshape(2, 2)
+    np.testing.assert_allclose(
+        got_small, apply_affine(box.reshape(2, 2), t_small), rtol=1e-4
+    )
+    np.testing.assert_allclose(
+        got_large, apply_affine(box.reshape(2, 2), t_large), rtol=1e-4
+    )
+    assert not np.allclose(got_small, got_large)
