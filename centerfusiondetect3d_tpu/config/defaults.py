@@ -58,6 +58,12 @@ def default_config() -> ConfigNode:
     c.MODEL.INPUT_SIZE = (448, 800)
     c.MODEL.DLA = ConfigNode()
     c.MODEL.DLA.NODE = "DeformConv"  # DeformConv | GlobalConv | Conv
+    # deformable-sampling implementation: auto (pallas on TPU, xla elsewhere)
+    # | pallas (shifted-window TPU kernel) | xla (flattened-row gathers).
+    # Default is xla until the Mosaic multi-kernel compile crash is resolved:
+    # a single pallas DCN compiles and validates on TPU, but >=2 instances in
+    # one program crash the remote compile helper (see ROADMAP.md).
+    c.MODEL.DLA.DCN_IMPL = "xla"
 
     c.LOSS_WEIGHTS = ConfigNode()
     c.LOSS_WEIGHTS.HEATMAP = 1.0

@@ -150,6 +150,21 @@ class GenericDataset:
             item.update(
                 {"pc_2d": pc_2d.T, "pc_3d": pc_3d.T, "pc_N": pc_n, "pc_dep": pc_dep}
             )
+            if cfg.DEBUG > 1:
+                # pillar inspection renders (debugPillar,
+                # generic_dataset.py:959-1129); headless: always file dumps
+                from ..utils.visualize import debug_pillars
+                from .radar import pillar_sizes
+
+                n = int(pc_n)
+                debug_pillars(
+                    img, pc_2d[:, :n],
+                    pillar_sizes(pc_3d[:, :n], calib[:3, :4], trans_out,
+                                 (out_h, out_w), cfg.DATASET.PILLAR_DIMS),
+                    trans_in, trans_out, (in_h, in_w), (out_h, out_w),
+                    os.path.join(cfg.OUTPUT_DIR, "debug"), index=index,
+                    max_dist=float(cfg.DATASET.MAX_PC_DIST),
+                )
 
         if cfg.weights.get("lidar_depth", 0) > 0:
             lidar = self.load_lidar(img_info)

@@ -24,6 +24,9 @@ def parse_args(argv=None):
                    help="image file, folder of images, video file, or 'webcam'")
     p.add_argument("--load", default="", help="checkpoint to load (orbax dir)")
     p.add_argument("--save-dir", default="", help="save annotated frames + json")
+    p.add_argument("--show-attention", action="store_true",
+                   help="save depth/attention-map overlays next to the frames "
+                        "(showAttention analogue, generic_dataset.py:1208-1237)")
     p.add_argument("--conf-thresh", type=float, default=0.3)
     p.add_argument("opts", nargs="*", default=[])
     return p.parse_args(argv)
@@ -117,7 +120,18 @@ def main(argv=None):
             img = detector.load_data(frame)[0]
             vis = draw_detections(img, items, NuScenesDataset.class_name,
                                   args.conf_thresh)
-            cv2.imwrite(os.path.join(args.save_dir, f"{os.path.splitext(name)[0]}_det.jpg"), vis)
+            stem = os.path.splitext(name)[0]
+            cv2.imwrite(os.path.join(args.save_dir, f"{stem}_det.jpg"), vis)
+            if args.show_attention:
+                from .utils.visualize import attention_overlay, normalize_depthmaps
+
+                maps = normalize_depthmaps(ret.get("extras") or {})
+                for key, m in maps.items():
+                    overlay = attention_overlay(img, m[0])
+                    cv2.imwrite(
+                        os.path.join(args.save_dir, f"{stem}_att_{key}.jpg"),
+                        overlay,
+                    )
 
     print(f"processed {n} frames | " + detector.timer.report())
     if args.save_dir:

@@ -43,10 +43,18 @@ class CenterFusionDLA(nn.Module):
     top_k: int = 100
     norm_eval: bool = False  # freeze backbone BN stats during training
     remat: bool = False  # rematerialize the backbone (memory for FLOPs)
+    dcn_impl: str = "auto"  # pallas | xla | auto (pallas on TPU)
     dtype: Any = jnp.float32
 
     def setup(self):
         node_type = NODE_TYPES[self.node]
+        if self.node == "DeformConv" and self.dcn_impl != "auto":
+            import functools
+
+            from .layers import DeformConvNode
+
+            cfg_node = functools.partial(DeformConvNode, dcn_impl=self.dcn_impl)
+            node_type = (cfg_node, cfg_node)
         channels = DLA34_CHANNELS  # resnet backbones share the channel ladder
         dla_up_cls, ida_up_cls = DLAUp, IDAUp
         if self.remat:
@@ -187,5 +195,6 @@ def build_model(config, dtype=None) -> CenterFusionDLA:
         top_k=int(config.MODEL.K),
         norm_eval=bool(config.MODEL.NORM_EVAL),
         remat=bool(config.TPU.get("REMAT", False)),
+        dcn_impl=str(config.MODEL.DLA.get("DCN_IMPL", "auto")),
         dtype=dtype,
     )

@@ -163,10 +163,18 @@ class DeformConvNode(nn.Module):
 
     Reference ``DeformConv`` (dla.py:385-472): the offset conv starts at zero
     so the node begins as a plain conv; mask is sigmoided.
+
+    ``dcn_impl`` selects the deformable-sampling implementation:
+    ``"pallas"`` — the gather-free shifted-window TPU kernel
+    (ops/pallas_dcn.py, offsets clamped to ±``dcn_max_offset``);
+    ``"xla"`` — the flattened-row-gather formulation (ops/dcn.py, exact,
+    any backend); ``"auto"`` — pallas on TPU, xla elsewhere.
     """
 
     features: int
     activation: bool = True
+    dcn_impl: str = "auto"
+    dcn_max_offset: float = 8.0
     dtype: Any = jnp.float32
 
     @nn.compact
@@ -195,10 +203,24 @@ class DeformConvNode(nn.Module):
 
         weight = self.param("weight", weight_init, (3, 3, in_ch, self.features))
         bias = self.param("bias", nn.initializers.zeros, (self.features,))
-        x = deform_conv2d(
-            x.astype(self.dtype), offset, mask,
-            weight.astype(self.dtype), bias.astype(self.dtype),
-        )
+        impl = self.dcn_impl
+        if impl == "auto":
+            import jax
+
+            impl = "pallas" if jax.default_backend() == "tpu" else "xla"
+        if impl == "pallas":
+            from ..ops.pallas_dcn import deform_conv2d_fast
+
+            x = deform_conv2d_fast(
+                x.astype(self.dtype), offset, mask,
+                weight.astype(self.dtype), bias.astype(self.dtype),
+                self.dcn_max_offset, False,
+            )
+        else:
+            x = deform_conv2d(
+                x.astype(self.dtype), offset, mask,
+                weight.astype(self.dtype), bias.astype(self.dtype),
+            )
         if self.activation:
             x = TorchBatchNorm(
                 use_running_average=not train,

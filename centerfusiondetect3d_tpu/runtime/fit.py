@@ -185,6 +185,7 @@ class Trainer:
         cfg = self.config
         k = int(cfg.MODEL.K)
         flip_test = bool(cfg.TEST.FLIP_TEST)
+        debug = int(cfg.DEBUG) > 0
 
         def eval_step(state, batch, trans_mat):
             variables = {"params": state.params, "batch_stats": state.batch_stats}
@@ -211,7 +212,9 @@ class Trainer:
                 dets, trans_mat, cfg.MODEL.OUTPUT_SIZE, batch["calib"]
             )
             loss, parts = self.loss_fn(outputs, batch, train=False)
-            return processed, loss, parts
+            # debug: expose the model's (frustum) radar heatmap for overlays
+            pred_pc_hm = outputs[-1].get("pc_hm") if debug else None
+            return processed, loss, parts, pred_pc_hm
 
         return jax.jit(eval_step)
 
@@ -244,6 +247,12 @@ class Trainer:
         results: Dict[int, list] = {}
         meters = defaultdict(AverageMeter)
         oh, ow = cfg.MODEL.OUTPUT_SIZE
+        viz = None
+        if int(cfg.DEBUG) > 0 and self.dataset_val is not None:
+            # first-val-sample overlays (WandbLogger analogue, logger.py:78-171)
+            from ..utils.visualize import ValVisualizer
+
+            viz = ValVisualizer(self.output_dir, cfg, self.dataset_val)
         for batch in loader:
             meta = batch.pop("meta", None)
             jbatch = shard_batch(batch, self.mesh)
@@ -265,7 +274,9 @@ class Trainer:
                     for i in range(nimg)
                 ]
             )
-            processed, loss, parts = self._eval_step(self.state, jbatch, trans_mat)
+            processed, loss, parts, pred_pc_hm = self._eval_step(
+                self.state, jbatch, trans_mat
+            )
             meters["total"].update(float(loss))
             for k_, v in parts.items():
                 meters[k_].update(float(v))
@@ -276,7 +287,33 @@ class Trainer:
             )
             processed_np = jax.tree.map(np.asarray, processed)
             results.update(detections_to_results(processed_np, img_ids))
+            if viz is not None and viz.image is None and meta is not None:
+                img_id0 = int(img_ids[0])
+                target_hm = batch.get("pc_hm")
+                if target_hm is None and batch.get("pc_dep") is not None:
+                    # display-normalized raw radar depth (d / max_dist)
+                    target_hm = (
+                        np.asarray(batch["pc_dep"])[..., :1]
+                        / float(cfg.DATASET.MAX_PC_DIST)
+                    )
+                radar_pc = (
+                    np.asarray(batch["pc_3d"][0]).T
+                    if batch.get("pc_3d") is not None
+                    else None
+                )
+                viz.add_ground_truth(
+                    img_id0,
+                    np.asarray(target_hm[0]) if target_hm is not None else None,
+                )
+                viz.add_predictions(
+                    img_id0, results.get(img_id0, []),
+                    pc_hm=(np.asarray(pred_pc_hm[0])
+                           if pred_pc_hm is not None else None),
+                    radar_pc=radar_pc,
+                )
 
+        if viz is not None:
+            viz.save(epoch=len(self.history["val"].get("total", [])))
         for k_, m in meters.items():
             self.history["val"].setdefault(k_, []).append(m.avg)
         self.logger.info(

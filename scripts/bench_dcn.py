@@ -60,15 +60,18 @@ def main():
             )
             # amortize the ~30 ms tunnel dispatch: apply the op REP times
             # serially inside one program (output feeds input, so XLA can't
-            # CSE the chain), fetch one scalar
+            # CSE the chain), fetch one scalar. NOTE: unrolled in Python, not
+            # lax.fori_loop — Mosaic crashes on pallas_call under fori_loop
+            # (remote_compile HTTP 500), while the same kernel compiles fine
+            # as a plain call sequence.
             REP = 10
 
             def chain(op):
                 def fn(x, off, m, wt):
-                    def body(_, acc):
-                        return op(acc, off, m, wt).astype(x.dtype) * 0.5
-                    y = jax.lax.fori_loop(0, REP, body, x)
-                    return jnp.sum(y.astype(jnp.float32))
+                    acc = x
+                    for _ in range(REP):
+                        acc = op(acc, off, m, wt).astype(x.dtype) * 0.5
+                    return jnp.sum(acc.astype(jnp.float32))
                 return jax.jit(fn)
 
             xla_fn = chain(deform_conv2d)
