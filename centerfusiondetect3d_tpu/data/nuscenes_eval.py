@@ -187,13 +187,14 @@ def run_eval(results: Dict[int, List[dict]], dataset, save_dir: str,
     tokens = {
         dataset.coco.load_imgs(i)[0]["sample_token"] for i in dataset.images
     }
-    gt_boxes, descriptions, ego = load_gt(dataroot, version, tokens)
+    gt_boxes, descriptions, ego, bike_racks = load_gt(dataroot, version, tokens)
     add_ego_translation(gt_boxes, ego)
 
     output_dir = os.path.join(save_dir, f"nuscenes_eval_det_output_{split}")
     ev = DetectionEval(
         gt_boxes, sub_path, output_dir,
-        sample_scene_description=descriptions, verbose=verbose,
+        sample_scene_description=descriptions, bike_racks=bike_racks,
+        verbose=verbose,
     )
     # predictions need ego-relative distances too
     ev.pred_boxes = add_ego_translation(ev.pred_boxes, ego)

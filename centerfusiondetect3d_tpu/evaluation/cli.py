@@ -38,12 +38,13 @@ def main(argv=None):
         submission = json.load(f)
     tokens = set(submission["results"].keys())
 
-    gt_boxes, descriptions, ego = load_gt(args.dataroot, args.version, tokens)
+    gt_boxes, descriptions, ego, bike_racks = load_gt(args.dataroot, args.version, tokens)
     add_ego_translation(gt_boxes, ego)
 
     ev = DetectionEval(
         gt_boxes, args.result_path, args.output_dir,
-        sample_scene_description=descriptions, verbose=bool(args.verbose),
+        sample_scene_description=descriptions, bike_racks=bike_racks,
+        verbose=bool(args.verbose),
     )
     ev.pred_boxes = add_ego_translation(ev.pred_boxes, ego)
     summaries = ev.run()

@@ -128,9 +128,31 @@ def add_ego_translation(boxes: EvalBoxes, ego_positions: Dict[str, np.ndarray]):
     return boxes
 
 
+def _point_in_box(point: np.ndarray, translation, size, rotation) -> bool:
+    """Is a global-frame point inside an oriented box (devkit points_in_box)?
+
+    size is (w, l, h); the box frame has x along length, y along width.
+    """
+    from ..utils import quaternion as quat
+
+    local = quat.rotate(quat.inverse(np.asarray(rotation, np.float64)),
+                        np.asarray(point, np.float64)
+                        - np.asarray(translation, np.float64))
+    w, l, h = np.asarray(size, np.float64)
+    return (abs(local[0]) <= l / 2 and abs(local[1]) <= w / 2
+            and abs(local[2]) <= h / 2)
+
+
 def filter_eval_boxes(boxes: EvalBoxes, config: DetectionConfig,
-                      scene_filter=None) -> EvalBoxes:
-    """Range (+ min-dist band, + scene keyword) filtering (loaders.py:248-341)."""
+                      scene_filter=None, bike_racks=None) -> EvalBoxes:
+    """Range (+ min-dist band, zero-point, bike-rack, scene keyword)
+    filtering (loaders.py:248-341).
+
+    bike_racks: sample_token -> list of bicycle-rack box dicts
+    (translation/size/rotation). Bicycle/motorcycle boxes whose center lies
+    inside any rack are dropped (loaders.py:297-329). The zero-point filter
+    only affects GT boxes (predictions carry num_pts = -1).
+    """
     out = EvalBoxes()
     for token in boxes.sample_tokens:
         if scene_filter is not None and not scene_filter(token):
@@ -140,8 +162,18 @@ def filter_eval_boxes(boxes: EvalBoxes, config: DetectionConfig,
             for b in boxes[token]
             if b.detection_name in config.class_range
             and config.min_dist <= b.ego_dist < config.class_range[b.detection_name]
+            and b.num_pts != 0
         ]
-        # bike-rack exclusion needs map data; the reference keeps it only when
-        # the devkit provides rack polygons - omitted here (documented gap)
+        racks = (bike_racks or {}).get(token, [])
+        if racks:
+            kept = [
+                b for b in kept
+                if b.detection_name not in ("bicycle", "motorcycle")
+                or not any(
+                    _point_in_box(b.translation, r["translation"], r["size"],
+                                  r["rotation"])
+                    for r in racks
+                )
+            ]
         out.add_boxes(token, kept)
     return out

@@ -112,12 +112,14 @@ class DetectionEval:
     def __init__(self, gt_boxes: EvalBoxes, results_path: str, output_dir: str,
                  config: Optional[DetectionConfig] = None,
                  sample_scene_description: Optional[Dict[str, str]] = None,
+                 bike_racks: Optional[Dict[str, list]] = None,
                  verbose: bool = False):
         self.base_config = config or DetectionConfig()
         self.output_dir = output_dir
         self.verbose = verbose
         self.gt_boxes = gt_boxes
         self.scene_desc = sample_scene_description or {}
+        self.bike_racks = bike_racks or {}
         with open(results_path) as f:
             submission = json.load(f)
         self.pred_boxes = deserialize_results(
@@ -155,8 +157,10 @@ class DetectionEval:
                     }
                     cfg.min_dist = max(0.0, max_range - 20.0)
                 scene_filter = self._scene_filter(extreme)
-                gt_f = filter_eval_boxes(self.gt_boxes, cfg, scene_filter)
-                pred_f = filter_eval_boxes(self.pred_boxes, cfg, scene_filter)
+                gt_f = filter_eval_boxes(self.gt_boxes, cfg, scene_filter,
+                                         bike_racks=self.bike_racks)
+                pred_f = filter_eval_boxes(self.pred_boxes, cfg, scene_filter,
+                                           bike_racks=self.bike_racks)
                 full = name == "all" and not extreme
                 metrics = evaluate_boxes(gt_f, pred_f, cfg, return_curves=full)
 

@@ -106,11 +106,16 @@ def ego_positions_from_tables(tables: NuScenesTables,
     return out
 
 
-def load_gt(dataroot: str, version: str,
-            sample_tokens=None) -> Tuple[EvalBoxes, Dict[str, str], Dict[str, np.ndarray]]:
-    """GT EvalBoxes (+ scene descriptions, ego positions) from raw tables.
+def load_gt(dataroot: str, version: str, sample_tokens=None) -> Tuple[
+        EvalBoxes, Dict[str, str], Dict[str, np.ndarray], Dict[str, list]]:
+    """GT EvalBoxes (+ scene descriptions, ego positions, bike racks) from
+    raw tables.
 
     sample_tokens restricts to an eval split (default: every sample).
+    The fourth return maps sample_token -> list of bicycle-rack boxes
+    (``static_object.bicycle_rack`` annotations, each a dict with
+    translation/size/rotation) for the bike-rack GT filter
+    (reference loaders.py:297-329).
     """
     tables = NuScenesTables(dataroot, version)
     tokens = set(sample_tokens) if sample_tokens is not None else {
@@ -124,6 +129,7 @@ def load_gt(dataroot: str, version: str,
 
     boxes = EvalBoxes()
     descriptions: Dict[str, str] = {}
+    bike_racks: Dict[str, list] = {}
     for sample in tables.sample:
         token = sample["token"]
         if token not in tokens:
@@ -133,6 +139,13 @@ def load_gt(dataroot: str, version: str,
         for a in anns_by_sample.get(token, []):
             inst = tables.instance.get(a["instance_token"], {})
             cat = tables.category.get(inst.get("category_token", ""), {})
+            if cat.get("name") == "static_object.bicycle_rack":
+                bike_racks.setdefault(token, []).append(
+                    {"translation": np.asarray(a["translation"], np.float64),
+                     "size": np.asarray(a["size"], np.float64),
+                     "rotation": np.asarray(a["rotation"], np.float64)}
+                )
+                continue
             det_name = _DETECTION_MAPPING.get(cat.get("name", ""))
             if det_name is None:
                 continue
@@ -154,4 +167,4 @@ def load_gt(dataroot: str, version: str,
             )
         boxes.add_boxes(token, sample_boxes)
     ego = ego_positions_from_tables(tables)
-    return boxes, descriptions, ego
+    return boxes, descriptions, ego, bike_racks

@@ -61,6 +61,62 @@ def _hat(v):
     return jnp.maximum(0.0, 1.0 - jnp.abs(v))
 
 
+# --------------------------------------------------------------------------
+# per-signature warm-up
+#
+# This image's remote-compile helper crashes (HTTP 500, subprocess exit 1)
+# whenever an XLA module contains >= ~3 Mosaic kernels that are not already
+# in its kernel cache: the per-kernel compiles run concurrently inside the
+# helper and take it down. Single-kernel modules always compile, and once a
+# signature is cached, larger modules reuse it (measured: a 3-kernel module
+# fails cold but compiles in 43s after warming each kernel alone — probe9;
+# scaled to a 14-kernel module in probe10). So before a kernel signature is
+# first traced into a caller's program, compile it once in its own tiny jit.
+# One serial compile per (shape, dtype, max_offset, block_rows) per process;
+# the local persistent .jax_cache makes re-warms in later processes ~instant.
+#
+# NOTE: keyed on the *traced* shapes — under multi-chip pjit the global batch
+# would be warmed rather than the per-device shard. Irrelevant on the 1-chip
+# topology this targets; revisit if sharded pallas DCN is ever enabled.
+# --------------------------------------------------------------------------
+
+_WARMED: set = set()
+_WARMING = False
+
+
+def _ensure_warm(x_shape, x_dtype, o: int, max_offset: float,
+                 block_rows: int) -> None:
+    global _WARMING
+    key = (tuple(x_shape), str(x_dtype), o, float(max_offset), int(block_rows))
+    if _WARMING or key in _WARMED:
+        return
+    import jax as _jax
+
+    if _jax.default_backend() != "tpu":
+        return
+    _WARMING = True
+    try:
+        # AOT lower+compile on ShapeDtypeStructs: compiles the kernel alone
+        # without executing anything, and is safe to run from inside an
+        # active outer trace (an inner jit *call* would get staged into the
+        # caller's jaxpr instead of compiling separately).
+        b, h, w, c = x_shape
+        jax.jit(
+            functools.partial(
+                deform_conv2d_pallas,
+                max_offset=max_offset, block_rows=block_rows, interpret=False,
+            )
+        ).lower(
+            jax.ShapeDtypeStruct((b, h, w, c), x_dtype),
+            jax.ShapeDtypeStruct((b, h, w, 18), jnp.float32),
+            jax.ShapeDtypeStruct((b, h, w, 9), jnp.float32),
+            jax.ShapeDtypeStruct((3, 3, c, o), jnp.bfloat16),
+        ).compile()
+        _WARMED.add(key)
+    finally:
+        _WARMING = False
+
+
 def _dcn_shift_kernel(off_ref, mask_ref, x_ref, w_ref, out_ref,
                       tap_acc, out_acc, *, br, w, c, o, pad, r):
     """One (batch, row-block) program.
@@ -131,6 +187,8 @@ def deform_conv2d_pallas(x, offset, mask, weight, bias=None, *,
     b, h, w, c = x.shape
     kh, kw, _, o = weight.shape
     assert (kh, kw) == (3, 3), "DLA nodes only use 3x3 DCN"
+    if not interpret:
+        _ensure_warm(x.shape, x.dtype, o, max_offset, block_rows)
     r = float(max_offset)
     pad = int(max_offset) + 2
 

@@ -12,6 +12,13 @@ import jax
 
 jax.config.update("jax_platforms", "cpu")
 
+# Persistent XLA cache: warm CPU test runs skip recompiles (measured 68s -> 13s
+# for a full DLA-34 init+apply). Keyed by program, so config-variant tests
+# still compile once each; the cache dir is repo-local and git-ignored.
+from centerfusiondetect3d_tpu.utils.cache import enable_compilation_cache
+
+enable_compilation_cache()
+
 import numpy as np
 import pytest
 

@@ -168,6 +168,7 @@ def test_import_legacy_names(model_setup):
     assert not report["shape_mismatch"]
 
 
+@pytest.mark.slow
 def test_resume_is_step_identical(tmp_path, model_setup):
     """N optimizer updates == N/2 updates + save/resume + N/2 updates.
 

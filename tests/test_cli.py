@@ -7,6 +7,7 @@ import numpy as np
 import pytest
 
 
+@pytest.mark.slow
 def test_inference_cli(tmp_path, rng):
     import cv2
 

@@ -60,6 +60,7 @@ def test_metrics_logger(tmp_path):
     assert ml2.run_id == "r1"
 
 
+@pytest.mark.slow
 def test_detector_multi_scale(rng):
     from centerfusiondetect3d_tpu.config import load_config as _lc
 

@@ -71,6 +71,7 @@ def eval_root(tmp_path_factory):
     return str(root)
 
 
+@pytest.mark.slow
 def test_trainer_val_scores_against_raw_tables(eval_root):
     from centerfusiondetect3d_tpu.config import load_config
     from centerfusiondetect3d_tpu.data import NuScenesDataset

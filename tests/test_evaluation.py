@@ -186,7 +186,7 @@ def test_gt_loader_from_raw_tables(tmp_path):
     w("sample_data", [{"token": "sd0", "sample_token": "sa0", "ego_pose_token": "e0",
                        "is_key_frame": True, "filename": "samples/LIDAR_TOP/x.bin"}])
 
-    boxes, desc, ego = load_gt(str(tmp_path), "v1.0-mini")
+    boxes, desc, ego, bike_racks = load_gt(str(tmp_path), "v1.0-mini")
     assert len(boxes) == 2
     assert boxes["sa0"][0].detection_name == "car"
     assert boxes["sa0"][0].attribute_name == "vehicle.moving"
@@ -194,3 +194,99 @@ def test_gt_loader_from_raw_tables(tmp_path):
     np.testing.assert_allclose(boxes["sa0"][0].velocity, [2.0, 0.0], atol=1e-6)
     assert "night" in desc["sa0"].lower()
     np.testing.assert_allclose(ego["sa0"], [0, 0, 0])
+    assert bike_racks == {}
+
+
+def test_bike_rack_filter(tmp_path):
+    """Bicycles inside a bicycle_rack box are dropped from eval
+    (loaders.py:297-329); cars and outside bicycles survive."""
+    from centerfusiondetect3d_tpu.evaluation import load_gt
+    from centerfusiondetect3d_tpu.evaluation.detection import (
+        DetectionConfig, add_ego_translation, filter_eval_boxes)
+
+    version_dir = tmp_path / "v1.0-mini"
+    version_dir.mkdir()
+
+    def w(name, obj):
+        (version_dir / f"{name}.json").write_text(json.dumps(obj))
+
+    w("scene", [{"token": "sc0", "name": "scene-0001", "description": "day"}])
+    w("sample", [{"token": "sa0", "scene_token": "sc0",
+                  "timestamp": 1_000_000, "prev": "", "next": ""}])
+    w("category", [
+        {"token": "c_bike", "name": "vehicle.bicycle"},
+        {"token": "c_car", "name": "vehicle.car"},
+        {"token": "c_rack", "name": "static_object.bicycle_rack"},
+    ])
+    w("instance", [
+        {"token": "i_b1", "category_token": "c_bike"},
+        {"token": "i_b2", "category_token": "c_bike"},
+        {"token": "i_car", "category_token": "c_car"},
+        {"token": "i_rack", "category_token": "c_rack"},
+    ])
+    w("attribute", [])
+
+    def ann(tok, inst, xyz, size=(0.6, 1.8, 1.2), rot=(1, 0, 0, 0)):
+        return {"token": tok, "sample_token": "sa0", "instance_token": inst,
+                "translation": list(xyz), "size": list(size),
+                "rotation": list(rot), "attribute_tokens": [],
+                "prev": "", "next": "", "num_lidar_pts": 5,
+                "num_radar_pts": 1}
+
+    w("sample_annotation", [
+        ann("a_b1", "i_b1", (10.0, 5.0, 0.5)),       # inside the rack
+        ann("a_b2", "i_b2", (30.0, -4.0, 0.5)),      # free-standing
+        ann("a_car", "i_car", (10.0, 5.0, 0.5),      # rack only hits bikes
+            size=(2.0, 4.5, 1.6)),
+        ann("a_rack", "i_rack", (10.0, 5.0, 0.5), size=(4.0, 6.0, 2.0)),
+    ])
+    w("ego_pose", [{"token": "e0", "translation": [0, 0, 0],
+                    "rotation": [1, 0, 0, 0]}])
+    w("sample_data", [{"token": "sd0", "sample_token": "sa0",
+                       "ego_pose_token": "e0", "is_key_frame": True,
+                       "filename": "samples/LIDAR_TOP/x.bin"}])
+
+    boxes, _, ego, bike_racks = load_gt(str(tmp_path), "v1.0-mini")
+    assert len(bike_racks["sa0"]) == 1
+    names = sorted(b.detection_name for b in boxes["sa0"])
+    assert names == ["bicycle", "bicycle", "car"]  # rack itself is not GT
+
+    add_ego_translation(boxes, ego)
+    kept = filter_eval_boxes(boxes, DetectionConfig(), bike_racks=bike_racks)
+    kept_names = sorted((b.detection_name, tuple(b.translation[:2]))
+                        for b in kept["sa0"])
+    assert ("bicycle", (10.0, 5.0)) not in kept_names, "racked bike survived"
+    assert ("bicycle", (30.0, -4.0)) in kept_names
+    assert ("car", (10.0, 5.0)) in kept_names
+
+    # rotated rack: bike at +x 2.5m from center fits inside an l=6 rack
+    # rotated 90deg (length along y) only if rotation is honored -> outside
+    import math
+    q = (math.cos(math.pi / 4), 0, 0, math.sin(math.pi / 4))
+    racks_rot = {"sa0": [{"translation": np.array([30.0, -4.0, 0.5]),
+                          "size": np.array([1.0, 6.0, 2.0]),
+                          "rotation": np.array(q)}]}
+    kept2 = filter_eval_boxes(boxes, DetectionConfig(), bike_racks=racks_rot)
+    # the free bike sits at the rack center -> inside regardless of rotation
+    assert ("bicycle", (30.0, -4.0)) not in sorted(
+        (b.detection_name, tuple(b.translation[:2])) for b in kept2["sa0"])
+
+
+def test_zero_point_gt_filter(tmp_path):
+    """GT boxes with zero lidar+radar points are dropped (loaders.py:292-295);
+    predictions (num_pts = -1) are unaffected."""
+    from centerfusiondetect3d_tpu.evaluation.detection import (
+        DetectionConfig, EvalBox, EvalBoxes, filter_eval_boxes)
+
+    def box(num_pts):
+        b = EvalBox(sample_token="s", translation=np.array([5.0, 0, 0]),
+                    size=np.array([2, 4, 1.5]), rotation=np.array([1, 0, 0, 0]),
+                    velocity=np.zeros(2), detection_name="car",
+                    num_pts=num_pts)
+        b.ego_translation = b.translation
+        return b
+
+    boxes = EvalBoxes()
+    boxes.add_boxes("s", [box(0), box(3), box(-1)])
+    kept = filter_eval_boxes(boxes, DetectionConfig())
+    assert [b.num_pts for b in kept["s"]] == [3, -1]

@@ -1,3 +1,4 @@
+import pytest
 import numpy as np
 import jax
 import jax.numpy as jnp
@@ -7,6 +8,7 @@ from centerfusiondetect3d_tpu.models import build_model
 from centerfusiondetect3d_tpu.runtime.export import export_inference, load_inference
 
 
+@pytest.mark.slow
 def test_stablehlo_export_roundtrip(tmp_path, rng):
     cfg = load_config(
         opts=["MODEL.INPUT_SIZE", "(64, 128)", "MODEL.DLA.NODE", "Conv",

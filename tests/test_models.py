@@ -322,6 +322,7 @@ def test_unknown_arch_rejected():
         build_model(cfg)
 
 
+@pytest.mark.slow
 def test_remat_backbone_matches_plain(rng):
     import jax as _jax
 

@@ -126,6 +126,7 @@ def tiny_setup():
     return cfg, model, loss_fn, batch, variables
 
 
+@pytest.mark.slow
 def test_train_step_updates_params(tiny_setup):
     cfg, model, loss_fn, batch, variables = tiny_setup
     state = create_train_state(cfg, model, variables)
@@ -172,6 +173,7 @@ def test_eval_step_decodes(tiny_setup):
 
 
 # ------------------------------------------------------------- 8-dev mesh
+@pytest.mark.slow
 def test_data_parallel_train_step(tiny_setup, devices8):
     cfg, model, loss_fn, batch, variables = tiny_setup
     mesh = make_mesh(n_data=8, n_model=1, devices=devices8)
@@ -207,6 +209,7 @@ def test_all_gather_detections_single_process():
     assert is_main_process()
 
 
+@pytest.mark.slow
 def test_dp_tp_2d_mesh_train_step(tiny_setup, devices8):
     """2D (data=4, model=2) mesh: batch DP + head-tower channel TP."""
     from centerfusiondetect3d_tpu.parallel import shard_params_tp
