@@ -58,12 +58,17 @@ def default_config() -> ConfigNode:
     c.MODEL.INPUT_SIZE = (448, 800)
     c.MODEL.DLA = ConfigNode()
     c.MODEL.DLA.NODE = "DeformConv"  # DeformConv | GlobalConv | Conv
-    # deformable-sampling implementation: auto (pallas on TPU, xla elsewhere)
-    # | pallas (shifted-window TPU kernel) | xla (flattened-row gathers).
-    # Default is xla until the Mosaic multi-kernel compile crash is resolved:
-    # a single pallas DCN compiles and validates on TPU, but >=2 instances in
-    # one program crash the remote compile helper (see ROADMAP.md).
-    c.MODEL.DLA.DCN_IMPL = "xla"
+    # deformable-sampling implementation: auto (shift on TPU, xla elsewhere)
+    # | shift (static shifted-window XLA, offsets clamped to ±DCN_MAX_OFFSET)
+    # | xla (flattened-row gathers, exact, any backend) | pallas (Mosaic
+    # kernel - single-kernel programs only on this image, kept for probes).
+    c.MODEL.DLA.DCN_IMPL = "auto"
+    # shift-impl offset clamp in output-stride pixels. R=1 runs ~2x faster
+    # than the exact gather path at every DLA node shape (cost scales as
+    # (2R+2)^2); raise to 2.0 (gather-parity speed) or set DCN_IMPL=xla for
+    # exact torchvision semantics, e.g. when importing reference checkpoints
+    # whose trained offsets exceed +-1.
+    c.MODEL.DLA.DCN_MAX_OFFSET = 1.0
 
     c.LOSS_WEIGHTS = ConfigNode()
     c.LOSS_WEIGHTS.HEATMAP = 1.0
@@ -99,6 +104,10 @@ def default_config() -> ConfigNode:
     c.TEST.OFFICIAL_EVAL = False
     c.TEST.FLIP_TEST = False  # fused flip-averaging TTA (extension over reference)
     c.TEST.MULTI_SCALE = ()  # e.g. (0.75, 1.0, 1.25): multi-scale TTA scales
+    # serving path: decode JPEGs at half resolution when the source is still
+    # >= the network input (nuScenes 1600x900 -> 800x450 vs 800x448 input);
+    # ~3x cheaper host decode. False = reference full-resolution decode.
+    c.TEST.FAST_DECODE = True
 
     # --- TPU-native runtime options (replace GPUS/DDP/CUDNN sections) -------
     c.TPU = ConfigNode()

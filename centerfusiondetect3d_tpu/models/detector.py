@@ -43,17 +43,21 @@ class CenterFusionDLA(nn.Module):
     top_k: int = 100
     norm_eval: bool = False  # freeze backbone BN stats during training
     remat: bool = False  # rematerialize the backbone (memory for FLOPs)
-    dcn_impl: str = "auto"  # pallas | xla | auto (pallas on TPU)
+    dcn_impl: str = "auto"  # shift | xla | pallas | auto (shift on TPU)
+    dcn_max_offset: float = 1.0  # shift-impl offset clamp (output px)
     dtype: Any = jnp.float32
 
     def setup(self):
         node_type = NODE_TYPES[self.node]
-        if self.node == "DeformConv" and self.dcn_impl != "auto":
+        if self.node == "DeformConv":
             import functools
 
             from .layers import DeformConvNode
 
-            cfg_node = functools.partial(DeformConvNode, dcn_impl=self.dcn_impl)
+            cfg_node = functools.partial(
+                DeformConvNode, dcn_impl=self.dcn_impl,
+                dcn_max_offset=self.dcn_max_offset,
+            )
             node_type = (cfg_node, cfg_node)
         channels = DLA34_CHANNELS  # resnet backbones share the channel ladder
         dla_up_cls, ida_up_cls = DLAUp, IDAUp
@@ -196,5 +200,6 @@ def build_model(config, dtype=None) -> CenterFusionDLA:
         norm_eval=bool(config.MODEL.NORM_EVAL),
         remat=bool(config.TPU.get("REMAT", False)),
         dcn_impl=str(config.MODEL.DLA.get("DCN_IMPL", "auto")),
+        dcn_max_offset=float(config.MODEL.DLA.get("DCN_MAX_OFFSET", 1.0)),
         dtype=dtype,
     )

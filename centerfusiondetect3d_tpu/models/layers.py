@@ -165,16 +165,19 @@ class DeformConvNode(nn.Module):
     so the node begins as a plain conv; mask is sigmoided.
 
     ``dcn_impl`` selects the deformable-sampling implementation:
-    ``"pallas"`` — the gather-free shifted-window TPU kernel
-    (ops/pallas_dcn.py, offsets clamped to ±``dcn_max_offset``);
-    ``"xla"`` — the flattened-row-gather formulation (ops/dcn.py, exact,
-    any backend); ``"auto"`` — pallas on TPU, xla elsewhere.
+    ``"shift"`` — static shifted-window XLA formulation (gather-free VPU
+    FMAs, offsets clamped to ±``dcn_max_offset``; the TPU fast path);
+    ``"xla"`` — the flattened-row-gather formulation (exact, any backend);
+    ``"pallas"`` — the Pallas kernel (ops/pallas_dcn.py; compiles only in
+    single-kernel programs on this image's toolchain, and measures slower
+    than "shift" — kept for comparison); ``"auto"`` — shift on TPU, xla
+    elsewhere.
     """
 
     features: int
     activation: bool = True
     dcn_impl: str = "auto"
-    dcn_max_offset: float = 8.0
+    dcn_max_offset: float = 1.0
     dtype: Any = jnp.float32
 
     @nn.compact
@@ -207,14 +210,22 @@ class DeformConvNode(nn.Module):
         if impl == "auto":
             import jax
 
-            impl = "pallas" if jax.default_backend() == "tpu" else "xla"
-        if impl == "pallas":
+            impl = "shift" if jax.default_backend() == "tpu" else "xla"
+        if impl == "shift":
+            from ..ops.dcn import deform_conv2d_shift
+
+            x = deform_conv2d_shift(
+                x.astype(self.dtype), offset, mask,
+                weight.astype(self.dtype), bias.astype(self.dtype),
+                max_offset=self.dcn_max_offset,
+            )
+        elif impl == "pallas":
             from ..ops.pallas_dcn import deform_conv2d_fast
 
             x = deform_conv2d_fast(
                 x.astype(self.dtype), offset, mask,
                 weight.astype(self.dtype), bias.astype(self.dtype),
-                self.dcn_max_offset, False,
+                max(self.dcn_max_offset, 8.0), False,
             )
         else:
             x = deform_conv2d(

@@ -92,3 +92,72 @@ def deform_conv2d(x, offset, mask, weight, bias=None):
     if bias is not None:
         out = out + bias
     return out.reshape(b, h, w, o).astype(x.dtype)
+
+
+def _hat(v):
+    """Bilinear tent: nonzero exactly for the two integers straddling v."""
+    return jnp.maximum(0.0, 1.0 - jnp.abs(v))
+
+
+def deform_conv2d_shift(x, offset, mask, weight, bias=None, *,
+                        max_offset: float = 2.0):
+    """Modulated 3x3 stride-1 DCNv2 via static shifted windows — no gathers.
+
+    The TPU fast path. XLA lowers gathers at ~40 GB/s effective on TPU
+    (measured: ``deform_conv2d`` spends 10.5 ms on the 6x112x200x64 DLA
+    layer); this formulation replaces all 36 bilinear gathers with a
+    *static* sum over integer shifts of the padded feature map,
+
+        sample(p + t_k + d_k(p)) = sum_g hat(g_y - t_ky - dy_k(p))
+                                       * hat(g_x - t_kx - dx_k(p)) * x[p + g]
+
+    where ``g`` ranges over the static box ``t_k + [-R-? .. R+1]^2`` and
+    ``hat`` is the bilinear tent (exact: only the two straddling integers
+    get nonzero weight). Every term is a statically-shifted slice fused into
+    a masked FMA on the VPU; the 9 modulated taps then contract with the
+    kernel on the MXU exactly like ``deform_conv2d``.
+
+    Offsets are clamped to ``±max_offset`` output-stride pixels (the
+    reference's torchvision op does not clamp — semantics are exact whenever
+    every offset is in range; trained DLA node offsets are small). Cost
+    scales as ``9 * (2R+2)^2`` fused multiply-adds over (B, H, W, C), so
+    keep R small (R=2 -> 324 terms). Fully differentiable (plain jnp ops;
+    clip passes gradients inside the range), chains safely under jit on any
+    backend. Same torchvision layouts as ``deform_conv2d``
+    (reference dla.py:461-472).
+    """
+    b, h, w, c = x.shape
+    kh, kw, _, o = weight.shape
+    assert (kh, kw) == (3, 3), "DLA nodes only use 3x3 DCN"
+    r = int(max_offset)
+    pad = r + 2  # tap ring (1) + offset range (R) + bilinear ceil (1)
+    dtype = x.dtype
+    xp = jnp.pad(x, ((0, 0), (pad, pad), (pad, pad), (0, 0)))
+
+    out = None
+    for k in range(9):
+        i, j = divmod(k, 3)
+        ty = jnp.clip(offset[..., 2 * k:2 * k + 1], -r, r) + (i - 1)
+        tx = jnp.clip(offset[..., 2 * k + 1:2 * k + 2], -r, r) + (j - 1)
+        tap = None
+        for gy in range(i - 1 - r, i - 1 + r + 2):
+            wy = _hat(gy - ty).astype(dtype)  # (B, H, W, 1)
+            rows = jax.lax.slice_in_dim(xp, pad + gy, pad + gy + h, axis=1)
+            for gx in range(j - 1 - r, j - 1 + r + 2):
+                wx = _hat(gx - tx).astype(dtype)
+                win = jax.lax.slice_in_dim(rows, pad + gx, pad + gx + w,
+                                           axis=2)
+                term = (wy * wx) * win
+                tap = term if tap is None else tap + term
+        tap = tap * mask[..., k:k + 1].astype(dtype)
+        term = jax.lax.dot_general(
+            tap.reshape(b * h * w, c),
+            weight[i, j].astype(dtype),
+            dimension_numbers=(((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )
+        out = term if out is None else out + term
+
+    if bias is not None:
+        out = out + bias
+    return out.reshape(b, h, w, o).astype(dtype)

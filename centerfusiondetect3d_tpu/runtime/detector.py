@@ -90,38 +90,74 @@ class Detector:
         )
 
     # ---------------------------------------------------------------- stages
-    def load_data(self, images) -> List[np.ndarray]:
-        """str path / ndarray / list thereof -> list of BGR images."""
+    def load_data(self, images, return_scales: bool = False):
+        """str path / ndarray / list thereof -> list of BGR images.
+
+        With ``TEST.FAST_DECODE`` (default on), JPEG paths decode at half
+        resolution via ``IMREAD_REDUCED_COLOR_2`` when the source stays at
+        least as large as the network input (nuScenes 1600x900 -> 800x450 vs
+        the 800x448 input) — ~3x cheaper host decode; the affine warp is
+        composed with the decode scale so detections stay in original-image
+        coordinates. Set ``TEST.FAST_DECODE=False`` for the reference's
+        full-resolution decode (`detector.py` reads full frames).
+        ``return_scales`` additionally returns the per-image decode scale.
+        """
         if isinstance(images, (str, np.ndarray)):
             images = [images]
-        out = []
+        in_h, in_w = self.config.MODEL.INPUT_SIZE
+        fast = bool(self.config.TEST.get("FAST_DECODE", True))
+        out, scales = [], []
         for im in images:
             if isinstance(im, str):
-                img = cv2.imread(im)
+                img, s = None, 1.0
+                if fast and im.lower().endswith((".jpg", ".jpeg")):
+                    img = cv2.imread(im, cv2.IMREAD_REDUCED_COLOR_2)
+                    s = 2.0
+                    if img is not None and (
+                        img.shape[0] < in_h or img.shape[1] < in_w
+                    ):
+                        img, s = None, 1.0  # too small reduced: decode full
+                if img is None:
+                    img = cv2.imread(im)
+                    s = 1.0
                 if img is None:
                     raise FileNotFoundError(im)
                 out.append(img)
+                scales.append(s)
             else:
                 out.append(np.asarray(im))
-        return out
+                scales.append(1.0)
+        return (out, scales) if return_scales else out
 
     def pre_process(self, images: List[np.ndarray], img_infos=None,
-                    radar_pcs=None):
+                    radar_pcs=None, decode_scales=None):
+        """Warp to input size on the host; images stay uint8 (normalization
+        is fused into the jit program, so the host->device transfer is 4x
+        smaller than the reference's float pipeline).
+
+        decode_scales: per-image factor by which ``images`` were downscaled
+        at decode time (load_data FAST_DECODE); geometry (center/scale/calib,
+        metas) always refers to original-image coordinates.
+        """
         cfg = self.config
         in_h, in_w = cfg.MODEL.INPUT_SIZE
         out_h, out_w = cfg.MODEL.OUTPUT_SIZE
         batch_imgs, batch_pc, calibs, metas = [], [], [], []
         for i, img in enumerate(images):
-            h, w = img.shape[:2]
+            ds = float(decode_scales[i]) if decode_scales is not None else 1.0
+            h, w = img.shape[0] * ds, img.shape[1] * ds
             info = (img_infos[i] if img_infos else {}) or {}
             center = np.array([w / 2.0, h / 2.0], np.float32)
             scale = max(h, w) * 1.0
             trans_in = get_affine_transform(center, scale, 0, (in_w, in_h))
             trans_out = get_affine_transform(center, scale, 0, (out_w, out_h))
-            warped = cv2.warpAffine(img, trans_in[:2].astype(np.float64),
+            # compose the decode downscale into the warp: points in the
+            # reduced frame map through p_orig = ds * p_reduced
+            trans_warp = trans_in.copy()
+            trans_warp[:, :2] *= ds
+            warped = cv2.warpAffine(img, trans_warp[:2].astype(np.float64),
                                     (in_w, in_h), flags=cv2.INTER_LINEAR)
-            norm = (warped.astype(np.float32) / 255.0 - self.mean) / self.std
-            batch_imgs.append(norm)
+            batch_imgs.append(warped)
             calib = np.array(
                 info.get(
                     "calib",
@@ -131,15 +167,15 @@ class Detector:
             )
             calibs.append(calib)
             metas.append({"center": center, "scale": scale,
-                          "width": w, "height": h})
+                          "width": int(round(w)), "height": int(round(h))})
 
             if cfg.DATASET.RADAR_PC:
                 radar = None if radar_pcs is None else radar_pcs[i]
                 if radar is None:
                     radar = np.zeros((18, 0), np.float32)
                 info_full = dict(info)
-                info_full.setdefault("width", w)
-                info_full.setdefault("height", h)
+                info_full.setdefault("width", int(round(w)))
+                info_full.setdefault("height", int(round(h)))
                 info_full.setdefault("calib", calib.tolist())
                 info_full.setdefault(
                     "camera_intrinsic", calib[:3, :3].tolist()
@@ -158,8 +194,16 @@ class Detector:
         return batch, metas
 
     def _forward(self, variables, image, pc_dep, calib, trans_inv):
-        """Model forward + decode + postprocess as ONE compiled program."""
+        """Model forward + decode + postprocess as ONE compiled program.
+
+        ``image`` may be uint8 (serving path): the /255 + mean/std
+        normalization runs on-device, fused by XLA into the first conv, so
+        the host ships 4x fewer bytes and does no float math per pixel.
+        """
         cfg = self.config
+        if image.dtype == jnp.uint8:
+            image = (image.astype(jnp.float32) / 255.0
+                     - jnp.asarray(self.mean)) / jnp.asarray(self.std)
         if cfg.TEST.FLIP_TEST:
             from ..ops import flip_forward
 
@@ -277,8 +321,10 @@ class Detector:
             try:
                 for item in frames:
                     images, img_infos, radar_pcs = item
-                    imgs = self.load_data(images)
-                    batch, metas = self.pre_process(imgs, img_infos, radar_pcs)
+                    imgs, dscales = self.load_data(images, return_scales=True)
+                    batch, metas = self.pre_process(
+                        imgs, img_infos, radar_pcs, decode_scales=dscales
+                    )
                     pre_q.put((batch, metas))
             except BaseException as e:  # propagate into the consumer
                 err.append(e)
@@ -311,27 +357,28 @@ class Detector:
     def run(self, images, img_infos=None, radar_pcs=None) -> Dict:
         scales = tuple(self.config.TEST.MULTI_SCALE or ())
         self.timer.start("load")
-        imgs = self.load_data(images)
+        imgs, dscales = self.load_data(images, return_scales=True)
         self.timer.stop("load")
         if scales:
             per_scale, base_ret = [], None
             for s in scales:
                 det = self if abs(s - 1.0) < 1e-6 else self._scaled_detector(s)
-                ret = det._run_single(imgs, img_infos, radar_pcs)
+                ret = det._run_single(imgs, img_infos, radar_pcs, dscales)
                 per_scale.append(ret["results"])
                 if abs(s - 1.0) < 1e-6 or base_ret is None:
                     base_ret = ret
             base_ret["results"] = self._merge_scales(per_scale)
             return base_ret
-        return self._run_single(imgs, img_infos, radar_pcs)
+        return self._run_single(imgs, img_infos, radar_pcs, dscales)
 
     def _run_single(self, imgs: List[np.ndarray], img_infos=None,
-                    radar_pcs=None) -> Dict:
+                    radar_pcs=None, decode_scales=None) -> Dict:
         t = self.timer
         t.start("total")
 
         t.start("preprocess")
-        batch, metas = self.pre_process(imgs, img_infos, radar_pcs)
+        batch, metas = self.pre_process(imgs, img_infos, radar_pcs,
+                                        decode_scales=decode_scales)
         t.stop("preprocess")
 
         t.start("net")
