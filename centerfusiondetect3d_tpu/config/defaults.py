@@ -55,6 +55,9 @@ def default_config() -> ConfigNode:
     c.MODEL.FUSION_STRATEGY = "middle"  # early | middle | None
     c.MODEL.FRUSTUM = True
     c.MODEL.K = 100
+    # TPU-native bucketed top-k (jax.lax.approx_max_k, ~0.95 recall) for the
+    # per-class spatial peak stage; False = exact sort (reference semantics)
+    c.MODEL.APPROX_TOPK = False
     c.MODEL.INPUT_SIZE = (448, 800)
     c.MODEL.DLA = ConfigNode()
     c.MODEL.DLA.NODE = "DeformConv"  # DeformConv | GlobalConv | Conv

@@ -129,8 +129,14 @@ def deform_conv2d_shift(x, offset, mask, weight, bias=None, *,
     b, h, w, c = x.shape
     kh, kw, _, o = weight.shape
     assert (kh, kw) == (3, 3), "DLA nodes only use 3x3 DCN"
-    r = int(max_offset)
-    pad = r + 2  # tap ring (1) + offset range (R) + bilinear ceil (1)
+    import math
+
+    r = float(max_offset)
+    # integer shifts straddling clamped positions t in [i-1-r, i-1+r]:
+    # lo = i-1-ceil(r), hi = i-1+floor(r)+1; fractional r shrinks the
+    # window (r=0.5 -> 3x3=9 terms/tap vs 4x4=16 at r=1)
+    r_lo, r_hi = math.ceil(r), math.floor(r) + 1
+    pad = r_lo + 2  # tap ring (1) + offset reach + bilinear ceil
     dtype = x.dtype
     xp = jnp.pad(x, ((0, 0), (pad, pad), (pad, pad), (0, 0)))
 
@@ -140,10 +146,10 @@ def deform_conv2d_shift(x, offset, mask, weight, bias=None, *,
         ty = jnp.clip(offset[..., 2 * k:2 * k + 1], -r, r) + (i - 1)
         tx = jnp.clip(offset[..., 2 * k + 1:2 * k + 2], -r, r) + (j - 1)
         tap = None
-        for gy in range(i - 1 - r, i - 1 + r + 2):
+        for gy in range(i - 1 - r_lo, i - 1 + r_hi + 1):
             wy = _hat(gy - ty).astype(dtype)  # (B, H, W, 1)
             rows = jax.lax.slice_in_dim(xp, pad + gy, pad + gy + h, axis=1)
-            for gx in range(j - 1 - r, j - 1 + r + 2):
+            for gx in range(j - 1 - r_lo, j - 1 + r_hi + 1):
                 wx = _hat(gx - tx).astype(dtype)
                 win = jax.lax.slice_in_dim(rows, pad + gx, pad + gx + w,
                                            axis=2)

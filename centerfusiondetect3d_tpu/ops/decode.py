@@ -29,16 +29,25 @@ def heat_nms(heatmap: jnp.ndarray, kernel: int = 3) -> jnp.ndarray:
     return jnp.where(hmax == heatmap, heatmap, jnp.zeros_like(heatmap))
 
 
-def topk_peaks(heatmap: jnp.ndarray, k: int = 100):
+def topk_peaks(heatmap: jnp.ndarray, k: int = 100, approx: bool = False):
     """Two-stage top-k over an NHWC class heatmap.
 
     Returns (scores, flat_indices, class_ids, ys, xs), each (B, K), where
     flat_indices index the flattened H*W plane.
+
+    ``approx`` switches the spatial stage to ``jax.lax.approx_max_k`` —
+    the TPU-native bucketed top-k (~0.95 recall per op) that avoids the
+    full sort over the H*W plane. After 3x3 NMS the heatmap is sparse and
+    near-duplicate peaks score close, so end-metric impact is negligible;
+    exact sort remains the default.
     """
     batch, height, width, nclass = heatmap.shape
     # per-class top-k over the spatial plane
     per_class = jnp.transpose(heatmap, (0, 3, 1, 2)).reshape(batch, nclass, -1)
-    scores_c, inds_c = jax.lax.top_k(per_class, k)  # (B, C, K)
+    if approx:
+        scores_c, inds_c = jax.lax.approx_max_k(per_class, k)  # (B, C, K)
+    else:
+        scores_c, inds_c = jax.lax.top_k(per_class, k)  # (B, C, K)
     ys_c = inds_c // width
     xs_c = inds_c % width
 
@@ -65,7 +74,8 @@ def gather_feature(feature: jnp.ndarray, flat_indices: jnp.ndarray) -> jnp.ndarr
 _REGRESSION_HEADS = ("rotation", "dimension", "amodal_offset", "nuscenes_att", "velocity")
 
 
-def fusion_decode(outputs, output_size, k: int = 100, norm2d: bool = False) -> dict:
+def fusion_decode(outputs, output_size, k: int = 100, norm2d: bool = False,
+                  approx_topk: bool = False) -> dict:
     """Decode a list of per-layer head dicts into top-K detections.
 
     Args:
@@ -91,7 +101,9 @@ def fusion_decode(outputs, output_size, k: int = 100, norm2d: bool = False) -> d
     for out in outputs:
         heat = heat_nms(out["heatmap"])
         batch, height, width, _ = heat.shape
-        scores_l, inds_l, classes_l, ys_l, xs_l = topk_peaks(heat, k)
+        scores_l, inds_l, classes_l, ys_l, xs_l = topk_peaks(
+            heat, k, approx=approx_topk
+        )
         layer_tops.append(
             (scores_l, inds_l, classes_l, ys_l / height, xs_l / width)
         )

@@ -218,7 +218,9 @@ class Detector:
                 variables, image, None, pc_dep, calib, train=False
             )
         dets = fusion_decode(
-            outputs, cfg.MODEL.OUTPUT_SIZE, k=cfg.MODEL.K, norm2d=cfg.MODEL.NORM_2D
+            outputs, cfg.MODEL.OUTPUT_SIZE, k=cfg.MODEL.K,
+            norm2d=cfg.MODEL.NORM_2D,
+            approx_topk=bool(cfg.MODEL.get("APPROX_TOPK", False)),
         )
         processed = post_process(dets, trans_inv, cfg.MODEL.OUTPUT_SIZE, calib)
         extras = {

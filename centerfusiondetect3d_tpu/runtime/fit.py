@@ -99,8 +99,14 @@ class Trainer:
 
     def _step_fn(self, frozen: bool):
         if frozen not in self._train_step:
+            # TPU.DONATE: donate the input TrainState's buffers to the step
+            # so XLA updates params/opt_state in place instead of allocating
+            # a second copy (halves peak HBM for the largest tensors). Safe
+            # because self.state is always reassigned to the step's output.
+            donate = (0,) if bool(self.config.TPU.DONATE) else ()
             self._train_step[frozen] = jax.jit(
-                make_train_step(self.model, self.loss_fn, freeze_backbone=frozen)
+                make_train_step(self.model, self.loss_fn, freeze_backbone=frozen),
+                donate_argnums=donate,
             )
         return self._train_step[frozen]
 
@@ -206,7 +212,8 @@ class Trainer:
                     batch.get("calib"), train=False,
                 )
             dets = fusion_decode(
-                outputs, cfg.MODEL.OUTPUT_SIZE, k=k, norm2d=cfg.MODEL.NORM_2D
+                outputs, cfg.MODEL.OUTPUT_SIZE, k=k, norm2d=cfg.MODEL.NORM_2D,
+                approx_topk=bool(cfg.MODEL.get("APPROX_TOPK", False)),
             )
             processed = post_process(
                 dets, trans_mat, cfg.MODEL.OUTPUT_SIZE, batch["calib"]

@@ -35,6 +35,7 @@ def model_setup():
     return cfg, model, variables
 
 
+@pytest.mark.slow
 def test_orbax_roundtrip(tmp_path, model_setup):
     cfg, model, variables = model_setup
     state = create_train_state(cfg, model, variables)
@@ -205,6 +206,7 @@ def test_resume_is_step_identical(tmp_path, model_setup):
                                    rtol=1e-6, atol=1e-7)
 
 
+@pytest.mark.slow
 def test_resume_optimizer_mismatch_falls_back(tmp_path, model_setup):
     import warnings
 

@@ -44,6 +44,7 @@ def _mini_batch(cfg, rng, b=1, m=4):
     return jax.tree.map(jnp.asarray, batch)
 
 
+@pytest.mark.slow
 def test_uncertainty_head_and_loss(rng):
     from centerfusiondetect3d_tpu.losses import GenericLoss
     from centerfusiondetect3d_tpu.models import build_model

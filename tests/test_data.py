@@ -130,6 +130,7 @@ def test_loader_shuffle_reproducible(cfg):
     np.testing.assert_array_equal(b1["image"], b2["image"])
 
 
+@pytest.mark.slow
 def test_end_to_end_loss_on_real_items(cfg):
     """Items from the synthetic dataset feed the model+loss without NaNs."""
     import jax

@@ -59,6 +59,7 @@ def test_shift_zero_offsets_is_plain_conv(rng):
                                atol=1e-5)
 
 
+@pytest.mark.slow
 def test_shift_gradients_match_oracle(case):
     x, off, m, wt, _ = case
 
@@ -83,6 +84,7 @@ def test_shift_gradients_match_oracle(case):
                                    atol=2e-4, err_msg=name)
 
 
+@pytest.mark.slow
 def test_node_shift_impl_matches_xla(rng):
     from centerfusiondetect3d_tpu.models.layers import DeformConvNode
 

@@ -40,6 +40,24 @@ def test_topk_peaks_positions_and_classes(rng):
     assert flat[0, 0] == 5 * 20 + 7
 
 
+def test_topk_peaks_approx_finds_clear_peaks(rng):
+    """approx_max_k path (MODEL.APPROX_TOPK): distinct peaks still surface.
+
+    On CPU approx_max_k lowers to an exact sort; on TPU it is the native
+    bucketed top-k with ~0.95 recall — the assertion only relies on the
+    clearly-separated peaks that both variants must return.
+    """
+    hm = rng.rand(2, 16, 20, 3).astype(np.float32) * 0.1
+    hm[0, 5, 7, 1] = 0.9
+    hm[1, 15, 0, 0] = 0.95
+    scores, flat, cls, ys, xs = (
+        np.asarray(t) for t in topk_peaks(jnp.asarray(hm), 4, approx=True)
+    )
+    assert scores.shape == (2, 4)
+    assert (cls[0, 0], ys[0, 0], xs[0, 0]) == (1, 5, 7)
+    assert (cls[1, 0], ys[1, 0], xs[1, 0]) == (0, 15, 0)
+
+
 def test_gather_feature(rng):
     feat = rng.rand(2, 4, 5, 3).astype(np.float32)
     idx = np.array([[0, 7], [19, 3]], np.int32)

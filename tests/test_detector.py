@@ -36,6 +36,45 @@ def test_detector_runs_on_path(detector, rng, tmp_path):
     assert 0 in ret["results"]
 
 
+def test_fast_decode_geometry_matches_full(detector, rng, tmp_path):
+    """TEST.FAST_DECODE half-res decode keeps original-image geometry:
+    metas/calib identical, the warped input close to the full-decode warp."""
+    import cv2
+
+    img = (rng.rand(512, 640, 3) * 255).astype(np.uint8)
+    img = cv2.GaussianBlur(img, (7, 7), 2.0)  # smooth: half-res preserves it
+    path = str(tmp_path / "big.jpg")
+    cv2.imwrite(path, img, [cv2.IMWRITE_JPEG_QUALITY, 98])
+
+    imgs_fast, scales = detector.load_data(path, return_scales=True)
+    assert scales == [2.0]
+    assert imgs_fast[0].shape[:2] == (256, 320)
+    batch_fast, metas_fast = detector.pre_process(
+        imgs_fast, decode_scales=scales)
+
+    detector.config.defrost()
+    old = detector.config.TEST.FAST_DECODE
+    detector.config.TEST.FAST_DECODE = False
+    try:
+        imgs_full, scales_full = detector.load_data(path, return_scales=True)
+        assert scales_full == [1.0]
+        batch_full, metas_full = detector.pre_process(
+            imgs_full, decode_scales=scales_full)
+    finally:
+        detector.config.TEST.FAST_DECODE = old
+        detector.config.freeze()
+
+    # geometry identical: original-image center/scale/size
+    assert metas_fast[0]["width"] == metas_full[0]["width"] == 640
+    assert metas_fast[0]["height"] == metas_full[0]["height"] == 512
+    np.testing.assert_allclose(metas_fast[0]["center"], metas_full[0]["center"])
+    assert metas_fast[0]["scale"] == metas_full[0]["scale"]
+    # warped content close (uint8 bilinear from half res vs full res)
+    a = batch_fast["image"][0].astype(np.float32)
+    b = batch_full["image"][0].astype(np.float32)
+    assert np.mean(np.abs(a - b)) < 6.0, np.mean(np.abs(a - b))
+
+
 def test_detector_missing_file_raises(detector):
     with pytest.raises(FileNotFoundError):
         detector.run("/nonexistent/img.jpg")

@@ -281,6 +281,7 @@ def test_frustum_associates_pipeline_radar(flagship_cfg):
     assert not np.any(pc_hm0[..., 0] > 0)
 
 
+@pytest.mark.slow
 def test_radar_reaches_secondary_heads(flagship_root):
     """Zeroing pc_dep changes depth2/velocity but not the primary heads.
 

@@ -75,6 +75,7 @@ def test_dcn_zero_offset_equals_conv(rng):
     np.testing.assert_allclose(got, np.asarray(ref), atol=1e-4)
 
 
+@pytest.mark.slow
 def test_dcn_is_differentiable(rng):
     b, h, w, c, o = 1, 4, 4, 2, 2
     x = jnp.asarray(rng.randn(b, h, w, c).astype(np.float32))

@@ -6,6 +6,8 @@ import numpy as np
 import jax.numpy as jnp
 import pytest
 
+pytestmark = pytest.mark.slow  # interpreter-mode checks of the shelved Pallas kernel
+
 from centerfusiondetect3d_tpu.ops.dcn import deform_conv2d
 from centerfusiondetect3d_tpu.ops.pallas_dcn import (
     deform_conv2d_fast,

@@ -141,6 +141,7 @@ def test_train_step_updates_params(tiny_setup):
     assert int(state2.step) == 2
 
 
+@pytest.mark.slow
 def test_train_step_freeze_backbone(tiny_setup):
     cfg, model, loss_fn, batch, variables = tiny_setup
     state = create_train_state(cfg, model, variables)
