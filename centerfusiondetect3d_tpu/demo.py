@@ -30,6 +30,10 @@ def parse_args(argv=None):
     p.add_argument("--save-dir", default="", help="save mosaic frames")
     p.add_argument("--save-video", default="", help="write the mosaic stream to an mp4")
     p.add_argument("--max-samples", type=int, default=0, help="0 = all")
+    p.add_argument("--show-attention", action="store_true",
+                   help="save per-head depth/attention overlays (single-cam "
+                        "only, like the reference showAttention, "
+                        "generic_dataset.py:1208-1237)")
     p.add_argument("--conf-thresh", type=float, default=0.3)
     p.add_argument("opts", nargs="*", default=[])
     return p.parse_args(argv)
@@ -180,6 +184,28 @@ def main(argv=None):
 
         if args.save_dir:
             cv2.imwrite(os.path.join(args.save_dir, f"{token}.jpg"), frame)
+            if args.show_attention:
+                # reference warns + skips for multi-camera samples
+                # (generic_dataset.py:1222-1226)
+                if n_cams > 1:
+                    if si == 0:
+                        import warnings
+
+                        warnings.warn(
+                            "Visualization of attention map currently not "
+                            "supported for multiple camera images."
+                        )
+                else:
+                    from .utils.visualize import (
+                        attention_overlay, normalize_depthmaps)
+
+                    maps = normalize_depthmaps(ret["extras"] or {})
+                    for key, m in maps.items():
+                        cv2.imwrite(
+                            os.path.join(args.save_dir,
+                                         f"{token}_att_{key}.jpg"),
+                            attention_overlay(frames[0], m[0]),
+                        )
         if args.save_video:
             if "writer" not in locals():
                 writer = cv2.VideoWriter(

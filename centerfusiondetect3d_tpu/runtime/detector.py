@@ -299,16 +299,19 @@ class Detector:
         return merged
 
     # ------------------------------------------------------------- streaming
-    def run_stream(self, frames, prefetch: int = 2, depth: int = 2):
+    def run_stream(self, frames, prefetch: int = 2, depth: int = 2,
+                   workers: int = 1):
         """Pipelined inference over an iterable of frames.
 
         ``frames`` yields (images, img_infos, radar_pcs) tuples (same
         arguments as ``run``). Host work (decode + affine warp + radar
-        rasterize) runs in a background thread ``prefetch`` batches ahead,
-        and up to ``depth`` device programs stay in flight, so JPEG decode
-        and TPU compute overlap instead of serializing — the reference's
-        DataLoader-with-workers arrangement (detector.py:44-155 +
-        main.py:98-122) re-designed for a single streaming process.
+        rasterize) runs ``prefetch`` batches ahead across ``workers``
+        threads (cv2 releases the GIL, so decode/warp parallelize on
+        multi-core hosts; order is preserved), and up to ``depth`` device
+        programs stay in flight, so JPEG decode and TPU compute overlap
+        instead of serializing — the reference's DataLoader-with-workers
+        arrangement (detector.py:44-155 + main.py:98-122) re-designed for a
+        single streaming process.
 
         Yields the same result dict as ``run`` per input batch.
         """
@@ -319,15 +322,29 @@ class Detector:
         _END = object()
         err: List[BaseException] = []
 
+        def prep(item):
+            images, img_infos, radar_pcs = item
+            imgs, dscales = self.load_data(images, return_scales=True)
+            return self.pre_process(
+                imgs, img_infos, radar_pcs, decode_scales=dscales
+            )
+
         def producer():
             try:
-                for item in frames:
-                    images, img_infos, radar_pcs = item
-                    imgs, dscales = self.load_data(images, return_scales=True)
-                    batch, metas = self.pre_process(
-                        imgs, img_infos, radar_pcs, decode_scales=dscales
-                    )
-                    pre_q.put((batch, metas))
+                if workers <= 1:
+                    for item in frames:
+                        pre_q.put(prep(item))
+                else:
+                    from concurrent.futures import ThreadPoolExecutor
+
+                    with ThreadPoolExecutor(max_workers=workers) as pool:
+                        pending = []
+                        for item in frames:
+                            pending.append(pool.submit(prep, item))
+                            while len(pending) > workers:
+                                pre_q.put(pending.pop(0).result())
+                        for fut in pending:
+                            pre_q.put(fut.result())
             except BaseException as e:  # propagate into the consumer
                 err.append(e)
             finally:

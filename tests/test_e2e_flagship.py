@@ -345,6 +345,33 @@ def test_radar_reaches_secondary_heads(flagship_root):
 
 
 @pytest.mark.slow
+def test_demo_cli_renders_mosaic_and_attention(flagship_root, tmp_path):
+    """demo.py over the converter output: mosaic + BEV frames and (single
+    camera) attention overlays land on disk (reference Demo class +
+    showAttention, demo.py + generic_dataset.py:1208-1237)."""
+    from centerfusiondetect3d_tpu import demo
+
+    out = tmp_path / "demo_out"
+    demo.main([
+        "--split", "mini_val", "--save-dir", str(out), "--max-samples", "2",
+        "--show-attention",
+        "DATASET.ROOT", repr(flagship_root + "/"),
+        "MODEL.INPUT_SIZE", "(96, 160)",
+        "MODEL.DLA.NODE", "Conv",
+        "DATASET.RADAR_PC", "True",
+        "MODEL.FRUSTUM", "True",
+        "MODEL.FUSION_STRATEGY", "'middle'",
+        "DATASET.PILLAR_DIMS", "(1.5, 0.6, 0.6)",
+        "MODEL.K", "8",
+        "MIXED_PRECISION", "False",
+    ])
+    files = os.listdir(out)
+    assert any(f.endswith(".jpg") and "_att_" not in f for f in files), files
+    # single-camera sample -> attention overlays written
+    assert any("_att_" in f for f in files), files
+
+
+@pytest.mark.slow
 def test_flagship_val_scores_end_to_end(flagship_cfg, flagship_root):
     """converter -> dataset -> Trainer.val on the 8-dev mesh -> NDS files."""
     from centerfusiondetect3d_tpu.data import NuScenesDataset
