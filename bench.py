@@ -64,12 +64,15 @@ def bench_e2e():
             for _ in range(n):
                 yield (list(paths), infos, radars)
 
+        import os as _os
+
+        workers = max(1, (_os.cpu_count() or 1) - 1)
         # warmup (compile) pass
-        for _ in det.run_stream(frames(2)):
+        for _ in det.run_stream(frames(2), workers=workers):
             pass
         t0 = time.perf_counter()
         n = 0
-        for _ in det.run_stream(frames(E2E_BATCHES)):
+        for _ in det.run_stream(frames(E2E_BATCHES), workers=workers):
             n += 1
         dt = time.perf_counter() - t0
     return BATCH * n / dt

@@ -277,17 +277,46 @@ def gen_convbn(torch, out_dir):
     print("wrote convbn.npz")
 
 
+def _torch_dcn_gridsample(torch, x, offset, mask, weight, bias):
+    """Pure-torch DCNv2 forward via per-tap ``grid_sample``.
+
+    Mathematically identical to ``torchvision.ops.deform_conv2d`` with
+    3x3/stride-1/padding-1 (bilinear sampling, zeros outside the image,
+    modulation mask, per-tap contraction): ``align_corners=True`` maps
+    grid -1/+1 exactly onto pixel 0/size-1, so fractional pixel coords
+    round-trip without the half-pixel shift of the default mode.
+    """
+    import torch.nn.functional as F
+
+    b, c, h, w = x.shape
+    o = weight.shape[0]
+    ys, xs = torch.meshgrid(
+        torch.arange(h, dtype=torch.float32),
+        torch.arange(w, dtype=torch.float32),
+        indexing="ij",
+    )
+    out = torch.zeros(b, o, h, w)
+    for k in range(9):
+        i, j = divmod(k, 3)
+        py = ys[None] + (i - 1) + offset[:, 2 * k]
+        px = xs[None] + (j - 1) + offset[:, 2 * k + 1]
+        grid = torch.stack(
+            [2 * px / (w - 1) - 1, 2 * py / (h - 1) - 1], dim=-1
+        )  # (B, H, W, 2), xy order
+        samp = F.grid_sample(x, grid, mode="bilinear", padding_mode="zeros",
+                             align_corners=True)
+        samp = samp * mask[:, k:k + 1]
+        out = out + torch.einsum("bchw,oc->bohw", samp, weight[:, :, i, j])
+    return out + bias[None, :, None, None]
+
+
 def gen_dcn(torch, out_dir):
-    """DCNv2 golden via torchvision (skipped when torchvision is absent)."""
+    """DCNv2 golden: torchvision when present, else the pure-torch
+    grid_sample formulation (bit-matches torchvision's op semantics)."""
     try:
         from torchvision.ops import deform_conv2d as tv_dcn
     except ImportError:
         tv_dcn = None
-    if tv_dcn is None:  # absent or stubbed by install_stubs
-        print("torchvision absent -> dcn.npz SKIPPED "
-              "(run this script on a torchvision machine to enable the "
-              "DCN parity test)")
-        return
     rs = np.random.RandomState(11)
     b, c, o, h, w = 2, 8, 16, 12, 14
     x = rs.randn(b, c, h, w).astype(np.float32)
@@ -296,11 +325,19 @@ def gen_dcn(torch, out_dir):
     weight = (rs.randn(o, c, 3, 3) * 0.2).astype(np.float32)
     bias = rs.randn(o).astype(np.float32)
     t = torch.from_numpy
-    out = tv_dcn(t(x), t(offset), t(weight), t(bias), padding=(1, 1),
-                 mask=t(mask)).numpy()
+    if tv_dcn is not None:
+        out = tv_dcn(t(x), t(offset), t(weight), t(bias), padding=(1, 1),
+                     mask=t(mask)).numpy()
+        source = "torchvision"
+    else:
+        with torch.no_grad():
+            out = _torch_dcn_gridsample(
+                torch, t(x), t(offset), t(mask), t(weight), t(bias)
+            ).numpy()
+        source = "grid_sample"
     np.savez(os.path.join(out_dir, "dcn.npz"), x=x, offset=offset, mask=mask,
              weight=weight, bias=bias, out=out)
-    print("wrote dcn.npz")
+    print(f"wrote dcn.npz (source: {source})")
 
 
 def main():
