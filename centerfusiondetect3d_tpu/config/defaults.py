@@ -55,6 +55,9 @@ def default_config() -> ConfigNode:
     c.MODEL.FUSION_STRATEGY = "middle"  # early | middle | None
     c.MODEL.FRUSTUM = True
     c.MODEL.K = 100
+    # execute each stage's head towers through ONE wide 3x3 conv (per-head
+    # tower_0 kernels concatenated at apply time; identical math and params)
+    c.MODEL.FUSED_HEAD_TOWERS = True
     # TPU-native bucketed top-k (jax.lax.approx_max_k, ~0.95 recall) for the
     # per-class spatial peak stage; False = exact sort (reference semantics)
     c.MODEL.APPROX_TOPK = False
