@@ -56,8 +56,11 @@ def default_config() -> ConfigNode:
     c.MODEL.FRUSTUM = True
     c.MODEL.K = 100
     # execute each stage's head towers through ONE wide 3x3 conv (per-head
-    # tower_0 kernels concatenated at apply time; identical math and params)
-    c.MODEL.FUSED_HEAD_TOWERS = True
+    # tower_0 kernels concatenated at apply time; identical math and params).
+    # Off by default: measured runtime-neutral on v5e (XLA already schedules
+    # the small towers well) while ~3x-ing cold compile time of the model
+    # program - keep as an opt-in for hardware where many small convs hurt.
+    c.MODEL.FUSED_HEAD_TOWERS = False
     # TPU-native bucketed top-k (jax.lax.approx_max_k, ~0.95 recall) for the
     # per-class spatial peak stage; False = exact sort (reference semantics)
     c.MODEL.APPROX_TOPK = False

@@ -45,7 +45,7 @@ class CenterFusionDLA(nn.Module):
     remat: bool = False  # rematerialize the backbone (memory for FLOPs)
     dcn_impl: str = "auto"  # shift | xla | pallas | auto (shift on TPU)
     dcn_max_offset: float = 1.0  # shift-impl offset clamp (output px)
-    fused_heads: bool = True  # run head towers through one wide conv
+    fused_heads: bool = False  # opt-in: head towers through one wide conv
     dtype: Any = jnp.float32
 
     def setup(self):
@@ -203,6 +203,6 @@ def build_model(config, dtype=None) -> CenterFusionDLA:
         remat=bool(config.TPU.get("REMAT", False)),
         dcn_impl=str(config.MODEL.DLA.get("DCN_IMPL", "auto")),
         dcn_max_offset=float(config.MODEL.DLA.get("DCN_MAX_OFFSET", 1.0)),
-        fused_heads=bool(config.MODEL.get("FUSED_HEAD_TOWERS", True)),
+        fused_heads=bool(config.MODEL.get("FUSED_HEAD_TOWERS", False)),
         dtype=dtype,
     )

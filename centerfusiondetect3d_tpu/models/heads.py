@@ -74,7 +74,7 @@ class DetectHeadSet(nn.Module):
 
     heads/head_conv: static mappings from the derived config.
 
-    ``fuse_towers`` (default on) executes each stage's towers through ONE
+    ``fuse_towers`` (opt-in) executes each stage's towers through ONE
     wide 3x3 conv: the per-head ``tower_0`` kernels are concatenated along
     the output-channel axis at apply time, so the stride-4 feature map is
     read once and the MXU runs a single large contraction instead of ~7-10
@@ -89,7 +89,7 @@ class DetectHeadSet(nn.Module):
     head_conv: Mapping[str, Sequence[int]]
     secondary: Sequence[str] = ()
     remat: bool = False
-    fuse_towers: bool = True
+    fuse_towers: bool = False
     dtype: Any = jnp.float32
 
     def setup(self):

@@ -1,4 +1,4 @@
-"""Fused head-tower execution (MODEL.FUSED_HEAD_TOWERS): one wide tower_0
+"""Fused head-tower execution (MODEL.FUSED_HEAD_TOWERS, opt-in): one wide tower_0
 conv must be bit-equivalent to per-tower execution and fully trainable.
 Reference towers: detectHeads.py:59-115."""
 
