@@ -46,6 +46,7 @@ class CenterFusionDLA(nn.Module):
     dcn_impl: str = "auto"  # shift | xla | pallas | auto (shift on TPU)
     dcn_max_offset: float = 1.0  # shift-impl offset clamp (output px)
     fused_heads: bool = False  # opt-in: head towers through one wide conv
+    approx_topk: bool = False  # TPU bucketed top-k in the frustum stage
     dtype: Any = jnp.float32
 
     def setup(self):
@@ -173,7 +174,8 @@ class CenterFusionDLA(nn.Module):
             if not train and self.frustum:
                 # frustum association needs first-stage 2D boxes
                 pc_hm = get_pc_frustum_heatmap(
-                    y, pc_dep, calib, self.top_k, self.max_pc_dist
+                    y, pc_dep, calib, self.top_k, self.max_pc_dist,
+                    approx_topk=self.approx_topk,
                 )
             y["pc_hm"] = pc_hm[..., 0:1]
             y.update(self.head_set.second_stage(feats, pc_hm))
@@ -204,5 +206,6 @@ def build_model(config, dtype=None) -> CenterFusionDLA:
         dcn_impl=str(config.MODEL.DLA.get("DCN_IMPL", "auto")),
         dcn_max_offset=float(config.MODEL.DLA.get("DCN_MAX_OFFSET", 1.0)),
         fused_heads=bool(config.MODEL.get("FUSED_HEAD_TOWERS", False)),
+        approx_topk=bool(config.MODEL.get("APPROX_TOPK", False)),
         dtype=dtype,
     )

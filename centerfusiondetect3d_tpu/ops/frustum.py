@@ -115,7 +115,8 @@ def frustum_association(pc_dep, depth, bboxes, thresh, max_pc_dist: float):
     return _associate_one(pc_dep, depth, bboxes, thresh, float(max_pc_dist))
 
 
-def get_pc_frustum_heatmap(output: dict, pc_dep, calib, k: int, max_pc_dist: float):
+def get_pc_frustum_heatmap(output: dict, pc_dep, calib, k: int,
+                           max_pc_dist: float, approx_topk: bool = False):
     """Frustum heatmap from first-stage predictions (pointcloud.py:331-394).
 
     Args:
@@ -129,7 +130,7 @@ def get_pc_frustum_heatmap(output: dict, pc_dep, calib, k: int, max_pc_dist: flo
     heat = output["heatmap"]
     batch = heat.shape[0]
     # NOTE: the reference applies top-k *without* NMS here (pointcloud.py:347)
-    _, inds, _, ys, xs = topk_peaks(heat, k)
+    _, inds, _, ys, xs = topk_peaks(heat, k, approx=approx_topk)
     xs = xs.astype(jnp.float32) + 0.5
     ys = ys.astype(jnp.float32) + 0.5
 

@@ -50,9 +50,13 @@ def test_overfit_recovers_gt(tmp_path):
     state = create_train_state(cfg, model, variables)
     step = jax.jit(make_train_step(model, loss_fn))
 
+    # 450 steps: eval-mode BN uses *running* statistics, which trail the
+    # batch stats by the momentum horizon — the far object's depth needs the
+    # extra steps to settle within tolerance (the torch-parity unbiased
+    # running variance of round 2 shifted eval outputs slightly)
     first = None
-    for i in range(300):
-        state, metrics = step(state, batch, 2e-4 if i < 200 else 5e-5)
+    for i in range(450):
+        state, metrics = step(state, batch, 2e-4 if i < 300 else 5e-5)
         if first is None:
             first = float(metrics["total"])
     last = float(metrics["total"])
