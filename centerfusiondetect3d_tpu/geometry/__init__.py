@@ -1,4 +1,4 @@
-from .affine import get_affine_transform, apply_affine, solve_affine
+from .affine import get_affine_transform, apply_affine, solve_affine, stack_inverse_transforms
 from .gaussian import gaussian_radius, gaussian_2d, ellip_gaussian_2d, draw_gaussian
 from .transforms3d import (
     wrap_to_pi,
@@ -17,6 +17,7 @@ from .transforms3d import (
 __all__ = [
     "get_affine_transform",
     "apply_affine",
+    "stack_inverse_transforms",
     "solve_affine",
     "gaussian_radius",
     "gaussian_2d",

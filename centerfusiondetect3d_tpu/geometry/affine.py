@@ -77,3 +77,20 @@ def apply_affine(points, mat, xp=np):
     """Apply a (2, 3) affine matrix to (N, 2) points (numpy or jax arrays)."""
     mat = xp.asarray(mat, dtype=points.dtype if hasattr(points, "dtype") else None)
     return points @ mat[:, :2].T + mat[:, 2]
+
+
+def stack_inverse_transforms(centers, scales, out_wh) -> np.ndarray:
+    """Per-image inverse affines -> one (B, 2, 3) float32 stack.
+
+    Shared by validation (runtime/fit.py) and serving (runtime/detector.py)
+    so the output-plane -> original-image mapping cannot drift between the
+    two paths (reference postProcess.py:31-43 applies one matrix per image).
+    """
+    return np.stack(
+        [
+            get_affine_transform(
+                np.asarray(c, np.float32), s, 0, out_wh, inverse=True
+            ).astype(np.float32)
+            for c, s in zip(centers, scales)
+        ]
+    )

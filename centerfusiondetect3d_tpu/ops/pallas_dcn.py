@@ -54,11 +54,7 @@ import jax.numpy as jnp
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
-from .dcn import deform_conv2d as _deform_conv2d_xla
-
-
-def _hat(v):
-    return jnp.maximum(0.0, 1.0 - jnp.abs(v))
+from .dcn import _hat, deform_conv2d as _deform_conv2d_xla
 
 
 # --------------------------------------------------------------------------
@@ -130,9 +126,14 @@ def _dcn_shift_kernel(off_ref, mask_ref, x_ref, w_ref, out_ref,
         tap_acc:  (BR, W, C) f32 scratch.
         out_acc:  (BR * W, O) f32 scratch.
     """
+    import math
+
     rb = pl.program_id(1)
     row0 = rb * br
-    ri = int(r)
+    # ceil, not truncation: offsets in [-r, -floor(r)) need the shift at
+    # j-1-ceil(r) (the y direction gets this for free from its dynamic
+    # fori_loop bounds)
+    ri = int(math.ceil(r))
 
     out_acc[:] = jnp.zeros_like(out_acc)
     for k in range(9):
@@ -259,6 +260,10 @@ def _fast_bwd(max_offset, interpret, res, g):
     has_bias = bias is not None
 
     def f(x, offset, mask, weight, bias):
+        # clamp INSIDE the differentiated function so out-of-range offsets
+        # get zero gradient (consistent with the clamped forward) instead of
+        # the gradient of sampling at the unclamped position
+        offset = jnp.clip(offset, -max_offset, max_offset)
         return _deform_conv2d_xla(
             x, offset, mask, weight, bias if has_bias else None
         )

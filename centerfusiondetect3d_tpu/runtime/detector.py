@@ -19,7 +19,7 @@ import jax
 import jax.numpy as jnp
 
 from ..config import ConfigNode
-from ..geometry import get_affine_transform
+from ..geometry import get_affine_transform, stack_inverse_transforms
 from ..models import build_model
 from ..ops import fusion_decode, post_process
 from ..data.radar import prepare_radar_points
@@ -33,14 +33,15 @@ except ImportError:  # pragma: no cover
     cv2 = None
 
 
-def _cross_scale_nms(items: List[dict], dist_thresh: float = 0.75) -> List[dict]:
+def _cross_scale_nms(items: List[dict], dist_thresh: float = 0.4) -> List[dict]:
     """Greedy BEV center-distance NMS over score-sorted detection items.
 
     Two detections of the same class whose ground-plane (x, z) centers lie
     within ``dist_thresh`` meters are duplicates of one object — the lower
-    scoring one is dropped. 0.75 m is below the tightest nuScenes matching
-    threshold (0.5 m) times safety margin against suppressing true
-    neighbors while catching multi-scale self-duplicates.
+    scoring one is dropped. 0.4 m stays below the tightest nuScenes
+    matching threshold (0.5 m), so two true objects the scorer could
+    distinguish are never merged, while multi-scale self-duplicates
+    (typically within ~0.2 m) are still caught.
     """
     kept: List[dict] = []
     for it in items:
@@ -173,8 +174,12 @@ class Detector:
         batch_imgs, batch_pc, calibs, metas = [], [], [], []
         for i, img in enumerate(images):
             ds = float(decode_scales[i]) if decode_scales is not None else 1.0
-            h, w = img.shape[0] * ds, img.shape[1] * ds
             info = (img_infos[i] if img_infos else {}) or {}
+            # exact source dims from img_info when given; the reconstruction
+            # from the decoded shape is off by up to ds-1 px for odd source
+            # dimensions (IMREAD_REDUCED_COLOR_2 rounds up)
+            h = float(info.get("height", img.shape[0] * ds))
+            w = float(info.get("width", img.shape[1] * ds))
             center = np.array([w / 2.0, h / 2.0], np.float32)
             scale = max(h, w) * 1.0
             trans_in = get_affine_transform(center, scale, 0, (in_w, in_h))
@@ -223,14 +228,16 @@ class Detector:
     def _forward(self, variables, image, pc_dep, calib, trans_inv):
         """Model forward + decode + postprocess as ONE compiled program.
 
-        ``image`` may be uint8 (serving path): the /255 + mean/std
-        normalization runs on-device, fused by XLA into the first conv, so
-        the host ships 4x fewer bytes and does no float math per pixel.
+        ``image`` arrives as raw [0, 255] pixels (uint8 on the serving path,
+        any float dtype from ndarray callers): the /255 + mean/std
+        normalization always runs on-device, fused by XLA into the first
+        conv, so the host ships 4x fewer bytes and does no float math per
+        pixel — and float-dtype frames get the identical treatment the old
+        host-side pre_process applied unconditionally.
         """
         cfg = self.config
-        if image.dtype == jnp.uint8:
-            image = (image.astype(jnp.float32) / 255.0
-                     - jnp.asarray(self.mean)) / jnp.asarray(self.std)
+        image = (image.astype(jnp.float32) / 255.0
+                 - jnp.asarray(self.mean)) / jnp.asarray(self.std)
         if cfg.TEST.FLIP_TEST:
             from ..ops import flip_forward
 
@@ -259,14 +266,8 @@ class Detector:
     def process(self, batch, metas):
         oh, ow = self.config.MODEL.OUTPUT_SIZE
         # per-image inverse matrices: folders/videos may mix frame sizes
-        # (reference postProcess.py:31-43 applies one matrix per image)
-        trans_inv = np.stack(
-            [
-                get_affine_transform(
-                    m["center"], m["scale"], 0, (ow, oh), inverse=True
-                ).astype(np.float32)
-                for m in metas
-            ]
+        trans_inv = stack_inverse_transforms(
+            [m["center"] for m in metas], [m["scale"] for m in metas], (ow, oh)
         )
         return self._infer(
             self.variables,
@@ -340,7 +341,9 @@ class Detector:
         arrangement (detector.py:44-155 + main.py:98-122) re-designed for a
         single streaming process.
 
-        Yields the same result dict as ``run`` per input batch.
+        Yields the same result dict as ``run`` per input batch. Abandoning
+        the generator early (``break`` / ``close()``) unblocks and reaps the
+        producer thread instead of leaking it on the bounded queue.
         """
         import queue as _queue
         import threading as _threading
@@ -348,6 +351,17 @@ class Detector:
         pre_q: _queue.Queue = _queue.Queue(maxsize=max(1, prefetch))
         _END = object()
         err: List[BaseException] = []
+        stop = _threading.Event()
+
+        def put(item) -> bool:
+            """Bounded put that gives up when the consumer is gone."""
+            while not stop.is_set():
+                try:
+                    pre_q.put(item, timeout=0.1)
+                    return True
+                except _queue.Full:
+                    continue
+            return False
 
         def prep(item):
             images, img_infos, radar_pcs = item
@@ -360,40 +374,55 @@ class Detector:
             try:
                 if workers <= 1:
                     for item in frames:
-                        pre_q.put(prep(item))
+                        if not put(prep(item)):
+                            return
                 else:
                     from concurrent.futures import ThreadPoolExecutor
 
                     with ThreadPoolExecutor(max_workers=workers) as pool:
                         pending = []
                         for item in frames:
+                            if stop.is_set():
+                                return
                             pending.append(pool.submit(prep, item))
                             while len(pending) > workers:
-                                pre_q.put(pending.pop(0).result())
+                                if not put(pending.pop(0).result()):
+                                    return
                         for fut in pending:
-                            pre_q.put(fut.result())
+                            if not put(fut.result()):
+                                return
             except BaseException as e:  # propagate into the consumer
                 err.append(e)
             finally:
-                pre_q.put(_END)
+                put(_END)
 
         t = _threading.Thread(target=producer, daemon=True)
         t.start()
 
         inflight: List = []
-        while True:
-            item = pre_q.get()
-            if item is _END:
-                break
-            batch, metas = item
-            processed, extras = self.process(batch, metas)
-            inflight.append((processed, extras, metas))
-            if len(inflight) >= depth:
-                yield self._finalize_stream(*inflight.pop(0))
-        for entry in inflight:
-            yield self._finalize_stream(*entry)
-        if err:
-            raise err[0]
+        try:
+            while True:
+                item = pre_q.get()
+                if item is _END:
+                    break
+                batch, metas = item
+                processed, extras = self.process(batch, metas)
+                inflight.append((processed, extras, metas))
+                if len(inflight) >= depth:
+                    yield self._finalize_stream(*inflight.pop(0))
+            for entry in inflight:
+                yield self._finalize_stream(*entry)
+            if err:
+                raise err[0]
+        finally:
+            # consumer abandoned (or finished): release the producer
+            stop.set()
+            while True:  # drain so a blocked put() returns immediately
+                try:
+                    pre_q.get_nowait()
+                except _queue.Empty:
+                    break
+            t.join(timeout=5.0)
 
     def _finalize_stream(self, processed, extras, metas) -> Dict:
         results = self.merge_outputs(processed)

@@ -21,7 +21,7 @@ import jax.numpy as jnp
 import numpy as np
 
 from ..config import ConfigNode
-from ..geometry import get_affine_transform
+from ..geometry import stack_inverse_transforms
 from ..losses import GenericLoss
 from ..ops import fusion_decode, post_process
 from ..parallel import make_mesh, replicate, shard_batch
@@ -273,14 +273,7 @@ class Trainer:
                 centers = np.tile(np.array([w / 2, h / 2], np.float32), (nimg, 1))
                 scales = np.full((nimg,), max(h, w), np.float32)
             # per-image inverse matrices (reference postProcess.py:31-43)
-            trans_mat = np.stack(
-                [
-                    get_affine_transform(
-                        centers[i], scales[i], 0, (ow, oh), inverse=True
-                    ).astype(np.float32)
-                    for i in range(nimg)
-                ]
-            )
+            trans_mat = stack_inverse_transforms(centers, scales, (ow, oh))
             processed, loss, parts, pred_pc_hm = self._eval_step(
                 self.state, jbatch, trans_mat
             )

@@ -154,3 +154,19 @@ def test_cross_scale_nms_dedups():
     kept = _cross_scale_nms(items)
     assert len(kept) == 3
     assert [it["score"] for it in kept] == [0.9, 0.6, 0.5]
+    # two TRUE objects 0.45 m apart are distinguishable at the tightest
+    # nuScenes matching threshold (0.5 m) and must both survive
+    close = [mk(0.9, 1.0, 10.0, 30.0), mk(0.7, 1.0, 10.45, 30.0)]
+    assert len(_cross_scale_nms(close)) == 2
+
+
+def test_detector_normalizes_float_frames(detector, rng):
+    """Float [0,255] frames get the same /255-mean/std treatment as uint8
+    (the normalization is fused on-device for both dtypes)."""
+    img_u8 = (rng.rand(240, 320, 3) * 255).astype(np.uint8)
+    ret_u8 = detector.run(img_u8, radar_pcs=[np.zeros((18, 0), np.float32)])
+    ret_f32 = detector.run(img_u8.astype(np.float32),
+                           radar_pcs=[np.zeros((18, 0), np.float32)])
+    s_u8 = [it["score"] for it in ret_u8["results"][0]]
+    s_f32 = [it["score"] for it in ret_f32["results"][0]]
+    np.testing.assert_allclose(s_u8, s_f32, rtol=1e-3, atol=1e-4)
