@@ -170,7 +170,12 @@ class CenterFusionDLA(nn.Module):
         y["calib"] = calib
 
         if self.radar_pc and self.fusion_strategy == "middle":
-            y["pc_hm_in"] = pc_dep[..., : self.pc_slice]
+            # pc_hm_in mirrors what the reference ends up storing: its
+            # eval-time normalization mutates pc_dep IN PLACE
+            # (base_model.py:74-78), so outside the frustum path the stored
+            # slice is the normalized map; train/frustum keep the raw slice
+            pc_in_src = pc_hm if (not train and not self.frustum) else pc_dep
+            y["pc_hm_in"] = pc_in_src[..., : self.pc_slice]
             if not train and self.frustum:
                 # frustum association needs first-stage 2D boxes
                 pc_hm = get_pc_frustum_heatmap(
@@ -178,7 +183,9 @@ class CenterFusionDLA(nn.Module):
                     approx_topk=self.approx_topk,
                 )
             y["pc_hm"] = pc_hm[..., 0:1]
-            y.update(self.head_set.second_stage(feats, pc_hm))
+            y.update(
+                self.head_set.second_stage(feats, pc_hm, self.pc_slice)
+            )
 
         return [y]
 

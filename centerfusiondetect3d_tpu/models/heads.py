@@ -174,8 +174,12 @@ class DetectHeadSet(nn.Module):
             y["depth"] = sigmoid_depth(y["depth"])
         return y
 
-    def second_stage(self, feats, pc_hm):
-        """Run secondary towers on image features + resized radar heatmap."""
+    def second_stage(self, feats, pc_hm, pc_slice: int = 1):
+        """Run secondary towers on image features + resized radar heatmap.
+
+        pc_slice: number of depth channels; pc_hm_out exposes only that
+        slice like the reference (detectHeads.py:185).
+        """
         pc_resized = resize_nearest(pc_hm, feats.shape[1:3]).astype(feats.dtype)
         sec_feats = jnp.concatenate([feats, pc_resized], axis=-1)
         names = [n for n in self.secondary if n in self.heads]
@@ -183,5 +187,5 @@ class DetectHeadSet(nn.Module):
         if "depth2" in y:
             y["depthMap"] = y["depth2"]
             y["depth2"] = sigmoid_depth(y["depth2"])
-        y["pc_hm_out"] = pc_resized.astype(jnp.float32)
+        y["pc_hm_out"] = pc_resized[..., :pc_slice].astype(jnp.float32)
         return y
