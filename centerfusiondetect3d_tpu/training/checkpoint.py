@@ -176,6 +176,11 @@ def _torch_key(path: Tuple[str, ...], collection: str) -> Tuple[str, str]:
             return ".".join(out) + ".weight", "up"
         elif p == "conv_offset_mask":
             out.append(p)
+        elif re.fullmatch(r"(left|right)[12]", p):
+            # GlobalConvNode separable pair -> torch convLeft/convRight
+            # Sequential indices (reference dla.py:328-382)
+            side = "convLeft" if p.startswith("left") else "convRight"
+            out.append(f"{side}.{int(p[-1]) - 1}")
         elif p == "bn" and leaf in ("scale", "bias", "mean", "var"):
             # DCN node activation BN (torch: .activation.0) or plain node BN
             prev = parts[i - 1] if i else ""

@@ -367,9 +367,9 @@ def gen_dcn(torch, out_dir):
     print(f"wrote dcn.npz (source: {source})")
 
 
-def gen_model(torch, out_dir):
-    """FULL-MODEL golden: run the reference DLASeg (Conv nodes — no
-    torchvision needed) in eval mode on seeded inputs and save its
+def gen_model(torch, out_dir, node="Conv", fusion="middle", tag=""):
+    """FULL-MODEL golden: run the reference DLASeg (Conv/GlobalConv nodes —
+    no torchvision needed) in eval mode on seeded inputs and save its
     state_dict + outputs.
 
     This is the end-to-end parity artifact: the matching test imports the
@@ -378,8 +378,9 @@ def gen_model(torch, out_dir):
     checkpoint importer, DLA backbone, neck, BN statistics handling, and
     head towers against the actual torch reference in one shot
     (dla.py:164-635, base_model.py:30-106, detectHeads.py:32-132).
-    Middle fusion without FRUSTUM so pc_hm is the deterministic
-    eval normalization of pc_dep (base_model.py:67-79).
+    FRUSTUM stays off so pc_hm is the deterministic eval normalization of
+    pc_dep (base_model.py:67-79). Variants: middle fusion (secondary
+    heads), early fusion (input concat), GlobalConv nodes.
     """
     from config import config, updateDatasetAndModelConfig
     from model.model import getModel
@@ -393,14 +394,19 @@ def gen_model(torch, out_dir):
         def __init__(self, cin, cout, activation=True):
             super().__init__(cin, cout)
 
+    class _GlobalShim(ref_dla.GlobalConv):
+        def __init__(self, cin, cout, activation=True):
+            super().__init__(cin, cout)
+
     ref_dla.DLA_NODE["Conv"] = (_ConvShim, _ConvShim)
+    ref_dla.DLA_NODE["GlobalConv"] = (_ConvShim, _GlobalShim)
 
     config.defrost()
     config.DATASET.DATASET = "nuscenes"
     config.DATASET.RADAR_PC = True
-    config.MODEL.FUSION_STRATEGY = "middle"
+    config.MODEL.FUSION_STRATEGY = fusion
     config.MODEL.FRUSTUM = False
-    config.MODEL.DLA.NODE = "Conv"
+    config.MODEL.DLA.NODE = node
     config.MODEL.INPUT_SIZE = (64, 128)
     config.MODEL.LOAD_DIR = "skip-imagenet-download"  # getModel: pretrained
     config.TRAIN.UNCERTAINTY_LOSS = False             # only when LOAD_DIR==""
@@ -444,8 +450,9 @@ def gen_model(torch, out_dir):
     blob["meta_head_conv"] = np.frombuffer(
         _json.dumps(head_conv).encode(), dtype=np.uint8
     )
-    np.savez_compressed(os.path.join(out_dir, "model_forward.npz"), **blob)
-    print(f"wrote model_forward.npz ({len(blob)} arrays, "
+    name = f"model_forward{tag}.npz"
+    np.savez_compressed(os.path.join(out_dir, name), **blob)
+    print(f"wrote {name} ({len(blob)} arrays, "
           f"{len(model.state_dict())} sd keys)")
 
 
@@ -475,6 +482,8 @@ def main():
     gen_convbn(torch, out_dir)
     gen_dcn(torch, out_dir)
     gen_model(torch, out_dir)
+    gen_model(torch, out_dir, node="GlobalConv", tag="_globalconv")
+    gen_model(torch, out_dir, fusion="early", tag="_early")
 
 
 if __name__ == "__main__":

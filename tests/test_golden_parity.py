@@ -221,13 +221,18 @@ def test_dcn_matches_torchvision():
     np.testing.assert_allclose(got_p, want, rtol=0.02, atol=0.15)
 
 
-def test_full_model_matches_reference():
+@pytest.mark.parametrize("fixture,node,fusion", [
+    ("model_forward.npz", "Conv", "middle"),
+    ("model_forward_globalconv.npz", "GlobalConv", "middle"),
+    ("model_forward_early.npz", "Conv", "early"),
+])
+def test_full_model_matches_reference(fixture, node, fusion):
     """END-TO-END model parity: import the reference DLASeg's state_dict
-    (Conv nodes, middle fusion, no frustum) through the torch-checkpoint
-    importer and reproduce every head output of the captured torch forward
-    (dla.py:164-635, base_model.py:30-106, detectHeads.py:32-132).
-    Validates the importer, DLA backbone, neck, BN statistics, and towers
-    against the actual reference in one shot."""
+    through the torch-checkpoint importer and reproduce every head output
+    of the captured torch forward (dla.py:164-635, base_model.py:30-106,
+    detectHeads.py:32-132). Validates the importer, DLA backbone, neck, BN
+    statistics, and towers against the actual reference in one shot, for
+    Conv/GlobalConv nodes and middle/early fusion."""
     import json
 
     import jax
@@ -238,12 +243,12 @@ def test_full_model_matches_reference():
         import_torch_checkpoint,
     )
 
-    g = _load("model_forward.npz")
+    g = _load(fixture)
     head_conv = json.loads(bytes(g["meta_head_conv"]).decode())
     cfg = load_config(
-        opts=["MODEL.INPUT_SIZE", "(64, 128)", "MODEL.DLA.NODE", "Conv",
+        opts=["MODEL.INPUT_SIZE", "(64, 128)", "MODEL.DLA.NODE", node,
               "DATASET.RADAR_PC", "True", "MODEL.FRUSTUM", "False",
-              "MODEL.FUSION_STRATEGY", "'middle'",
+              "MODEL.FUSION_STRATEGY", repr(fusion),
               "MIXED_PRECISION", "False"],
         num_classes=10,
     )
@@ -279,4 +284,4 @@ def test_full_model_matches_reference():
         np.testing.assert_allclose(got, want, rtol=2e-3, atol=2e-3,
                                    err_msg=name)
         compared += 1
-    assert compared >= 12, compared  # all first+second stage heads
+    assert compared >= (12 if fusion == "middle" else 9), compared
