@@ -77,14 +77,33 @@ def install_stubs():
     _stub("lightning.pytorch")
     _stub("lightning.pytorch.utilities",
           rank_zero_only=lambda fn, *a, **k: fn)
+    def _tv_deform_conv2d(input=None, offset=None, weight=None, bias=None,
+                          stride=(1, 1), padding=(1, 1), dilation=(1, 1),
+                          mask=None):
+        """torchvision.ops.deform_conv2d replacement via grid_sample —
+        mathematically identical for the 3x3/stride-1/pad-1 case the
+        reference uses (dla.py:461-470)."""
+        import torch as _torch
+
+        def _pair(v):
+            return (v, v) if isinstance(v, int) else tuple(v)
+
+        assert _pair(stride) == (1, 1) and _pair(dilation) == (1, 1)
+        assert _pair(padding) == (1, 1) and weight.shape[-2:] == (3, 3)
+        if bias is None:
+            bias = _torch.zeros(weight.shape[0])
+        return _torch_dcn_gridsample(_torch, input, offset, mask, weight,
+                                     bias)
+
     try:
         import torchvision  # noqa: F401
     except ImportError:
         # model/__init__.py imports dla.py which imports torchvision at
-        # module scope; the decode/loss paths never call it
+        # module scope; the stub's deform_conv2d is the grid_sample
+        # formulation so the DeformConv model path runs for real
         tv = _stub("torchvision")
         tv.__stub__ = True
-        _stub("torchvision.ops", deform_conv2d=None)
+        _stub("torchvision.ops", deform_conv2d=_tv_deform_conv2d)
 
 
 def gen_decode(torch, out_dir):
@@ -341,7 +360,12 @@ def gen_dcn(torch, out_dir):
     """DCNv2 golden: torchvision when present, else the pure-torch
     grid_sample formulation (bit-matches torchvision's op semantics)."""
     try:
+        import torchvision
+
         from torchvision.ops import deform_conv2d as tv_dcn
+
+        if getattr(torchvision, "__stub__", False):
+            tv_dcn = None
     except ImportError:
         tv_dcn = None
     rs = np.random.RandomState(11)
@@ -421,6 +445,15 @@ def gen_model(torch, out_dir, node="Conv", fusion="middle", tag=""):
     torch.manual_seed(7)
     model = getModel(config)
     model.eval()
+    if node == "DeformConv":
+        # conv_offset_mask is zero-init (dla.py:426-436): offsets would be
+        # zero and masks 0.5, exercising only the degenerate path. Give the
+        # offset convs small random weights so real fractional sampling
+        # flows through the golden.
+        with torch.no_grad():
+            for name, p_ in model.named_parameters():
+                if "conv_offset_mask" in name:
+                    p_.normal_(0.0, 0.05)
 
     rs = np.random.RandomState(17)
     b = 2
@@ -484,6 +517,7 @@ def main():
     gen_model(torch, out_dir)
     gen_model(torch, out_dir, node="GlobalConv", tag="_globalconv")
     gen_model(torch, out_dir, fusion="early", tag="_early")
+    gen_model(torch, out_dir, node="DeformConv", tag="_dcn")
 
 
 if __name__ == "__main__":

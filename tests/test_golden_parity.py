@@ -225,6 +225,7 @@ def test_dcn_matches_torchvision():
     ("model_forward.npz", "Conv", "middle"),
     ("model_forward_globalconv.npz", "GlobalConv", "middle"),
     ("model_forward_early.npz", "Conv", "early"),
+    ("model_forward_dcn.npz", "DeformConv", "middle"),
 ])
 def test_full_model_matches_reference(fixture, node, fusion):
     """END-TO-END model parity: import the reference DLASeg's state_dict
@@ -249,6 +250,9 @@ def test_full_model_matches_reference(fixture, node, fusion):
         opts=["MODEL.INPUT_SIZE", "(64, 128)", "MODEL.DLA.NODE", node,
               "DATASET.RADAR_PC", "True", "MODEL.FRUSTUM", "False",
               "MODEL.FUSION_STRATEGY", repr(fusion),
+              # exact gather DCN: the golden uses unclamped torchvision
+              # semantics (via the grid_sample formulation)
+              "MODEL.DLA.DCN_IMPL", "'xla'",
               "MIXED_PRECISION", "False"],
         num_classes=10,
     )
