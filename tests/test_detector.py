@@ -160,6 +160,31 @@ def test_cross_scale_nms_dedups():
     assert len(_cross_scale_nms(close)) == 2
 
 
+def test_run_stream_abandonment_reaps_producer(detector, rng):
+    """Breaking out of run_stream must unblock and reap the producer thread
+    (it previously blocked forever on the bounded queue)."""
+    import threading
+
+    img = (rng.rand(240, 320, 3) * 255).astype(np.uint8)
+
+    def frames(n):
+        for _ in range(n):
+            yield ([img], None, [np.zeros((18, 0), np.float32)])
+
+    before = threading.active_count()
+    gen = detector.run_stream(frames(20), prefetch=1, depth=1)
+    next(gen)  # consume one batch, abandon the rest
+    gen.close()
+    # the stop event + drain lets the producer exit promptly
+    for _ in range(50):
+        if threading.active_count() <= before:
+            break
+        import time
+
+        time.sleep(0.1)
+    assert threading.active_count() <= before, "producer thread leaked"
+
+
 def test_detector_normalizes_float_frames(detector, rng):
     """Float [0,255] frames get the same /255-mean/std treatment as uint8
     (the normalization is fused on-device for both dtypes)."""
