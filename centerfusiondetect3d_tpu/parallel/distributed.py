@@ -16,19 +16,27 @@ from typing import Any, Dict, Optional
 def initialize(coordinator_address: Optional[str] = None,
                num_processes: Optional[int] = None,
                process_id: Optional[int] = None) -> None:
-    """Initialize jax.distributed (no-op when single-process / already up)."""
+    """Initialize jax.distributed (no-op when single-process / already up).
+
+    NOTE: must run before any backend query — even ``jax.process_count()``
+    initializes the backends, after which ``jax.distributed.initialize``
+    refuses to run (validated by the live 2-process CPU test,
+    tests/test_multiprocess.py).
+    """
     import jax
 
-    if jax.process_count() > 1:
-        return
     try:
         jax.distributed.initialize(
             coordinator_address=coordinator_address,
             num_processes=num_processes,
             process_id=process_id,
         )
-    except (ValueError, RuntimeError):
-        pass  # single-process run or env-configured initialization
+    except ValueError:
+        pass  # single-process run without cluster env configuration
+    except RuntimeError as e:
+        if "already" in str(e).lower() or "initialize" in str(e).lower():
+            return  # already initialized (e.g. by the launcher)
+        raise
 
 
 def is_main_process() -> bool:
