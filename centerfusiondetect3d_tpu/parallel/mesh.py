@@ -47,13 +47,26 @@ def shard_batch(batch: Dict[str, Any], mesh: Mesh) -> Dict[str, Any]:
     Arrays whose leading dim doesn't divide the data axis (e.g. a last eval
     batch of 1 on an 8-device mesh) are replicated instead - correctness over
     parallelism for the remainder batch.
+
+    Multi-process (multi-host) runs feed each process's LOCAL batch shard:
+    the global array is assembled via ``make_array_from_process_local_data``
+    (the global batch is ``local * process_count``), matching how each DDP
+    rank feeds its own loader shard in the reference (main.py:100,117).
     """
     n_data = mesh.shape[DATA_AXIS]
     sharded = batch_sharding(mesh)
     replicated_s = replicated(mesh)
+    multiproc = jax.process_count() > 1
+    local_data = max(1, n_data // jax.process_count())
 
     def put(x):
         arr = np.asarray(x) if not hasattr(x, "shape") else x
+        if multiproc:
+            fits = (arr.ndim >= 1 and arr.shape[0] > 0
+                    and arr.shape[0] % local_data == 0)
+            return jax.make_array_from_process_local_data(
+                sharded if fits else replicated_s, np.asarray(arr)
+            )
         fits = arr.ndim >= 1 and arr.shape[0] % n_data == 0 and arr.shape[0] > 0
         return jax.device_put(x, sharded if fits else replicated_s)
 
@@ -62,6 +75,15 @@ def shard_batch(batch: Dict[str, Any], mesh: Mesh) -> Dict[str, Any]:
 
 def replicate(tree: Any, mesh: Mesh) -> Any:
     sharding = replicated(mesh)
+    if jax.process_count() > 1:
+        # every process holds the same full copy; assemble the replicated
+        # global array from the per-process local data
+        return jax.tree.map(
+            lambda x: jax.make_array_from_process_local_data(
+                sharding, np.asarray(x)
+            ),
+            tree,
+        )
     return jax.tree.map(lambda x: jax.device_put(x, sharding), tree)
 
 
