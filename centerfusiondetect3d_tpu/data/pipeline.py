@@ -34,11 +34,17 @@ class Loader:
     def __init__(self, dataset, batch_size: int, shuffle: bool = False,
                  seed: int = 0, drop_last: bool = True, num_threads: int = 2,
                  prefetch: int = 2, drop_keys=("meta",),
-                 augment: Optional[bool] = None):
+                 augment: Optional[bool] = None, shard=None):
         """``augment`` controls training augmentation explicitly; it defaults
         to ``shuffle`` for backward compatibility but is independent — a
         SHUFFLE=False training run still augments (the reference couples
-        augmentation to the split, not the sampler; generic_dataset.py)."""
+        augmentation to the split, not the sampler; generic_dataset.py).
+
+        ``shard``: optional ``(shard_id, num_shards)`` — each multi-host
+        process iterates a disjoint strided slice of the (identically
+        shuffled) index stream, the reference's per-rank DistributedSampler
+        arrangement (main.py:100,117); batch_size is the per-process size.
+        """
         self.dataset = dataset
         self.batch_size = batch_size
         self.shuffle = shuffle
@@ -48,16 +54,25 @@ class Loader:
         self.num_threads = max(1, num_threads)
         self.prefetch = prefetch
         self.drop_keys = set(drop_keys or ())
+        self.shard = tuple(shard) if shard else None
         self.epoch = 0
 
     def __len__(self):
         n = len(self.dataset)
+        if self.shard:
+            sid, ns = self.shard
+            n = len(range(sid, n, ns))
         return n // self.batch_size if self.drop_last else -(-n // self.batch_size)
 
     def _indices(self) -> np.ndarray:
         idx = np.arange(len(self.dataset))
         if self.shuffle:
+            # same seed on every process: identical global order, disjoint
+            # per-shard slices
             np.random.RandomState(self.seed + self.epoch).shuffle(idx)
+        if self.shard:
+            sid, ns = self.shard
+            idx = idx[sid::ns]
         return idx
 
     def _build(self, index: int, sample_seed: int):

@@ -113,9 +113,19 @@ class Trainer:
     # ------------------------------------------------------------- train
     def train(self):
         cfg = self.config
+        # multi-host: each process loads a disjoint shard of the identically
+        # shuffled index stream and feeds its per-process batch; shard_batch
+        # assembles the global array (reference DDP: per-rank loaders with
+        # BATCH_SIZE // len(GPUS), main.py:100,117)
+        shard = (
+            (jax.process_index(), jax.process_count())
+            if jax.process_count() > 1
+            else None
+        )
         loader = Loader(
             self.dataset_train, cfg.TRAIN.BATCH_SIZE, shuffle=cfg.TRAIN.SHUFFLE,
             seed=cfg.RANDOM_SEED, num_threads=cfg.WORKERS, augment=True,
+            shard=shard,
         )
         if not cfg.TRAIN.SHUFFLE:
             self.logger.warning(

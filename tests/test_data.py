@@ -1,6 +1,31 @@
 import numpy as np
 import pytest
 
+
+def test_loader_sharding_disjoint_and_exhaustive():
+    """shard=(i, n): disjoint strided slices of one shuffled order that
+    together cover the dataset (the reference's per-rank DistributedSampler
+    arrangement, main.py:100,117)."""
+    from centerfusiondetect3d_tpu.data.pipeline import Loader
+
+    class DS:
+        def __len__(self):
+            return 20
+
+        def get_item(self, i, rng=None):
+            return {"idx": np.array([i], np.int64)}
+
+    seen = []
+    for sid in (0, 1):
+        loader = Loader(DS(), 2, shuffle=True, seed=5, drop_last=False,
+                        num_threads=1, drop_keys=(), shard=(sid, 2))
+        loader.epoch = 3
+        ids = [int(v) for b in loader for v in b["idx"][:, 0]]
+        assert len(ids) == 10 and len(loader) == 5
+        seen.append(set(ids))
+    assert seen[0] & seen[1] == set()
+    assert seen[0] | seen[1] == set(range(20))
+
 from centerfusiondetect3d_tpu.config import load_config
 from centerfusiondetect3d_tpu.data import (
     CocoReader,
