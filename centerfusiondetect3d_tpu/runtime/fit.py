@@ -236,6 +236,15 @@ class Trainer:
         return jax.jit(eval_step)
 
     def val(self, loader: Optional[Loader] = None):
+        """Validation + native NDS scoring.
+
+        Multi-process note: the val loader is deliberately NOT sharded —
+        every process evaluates the full split identically (redundant but
+        deadlock-free; per-process batch counts could otherwise diverge on
+        the remainder). Sharded eval with a process_allgather merge
+        (parallel.all_gather_detections) is validated at the op level
+        (tests/test_multiprocess.py) and reserved for real multi-host runs.
+        """
         cfg = self.config
         if loader is None:
             loader = Loader(
