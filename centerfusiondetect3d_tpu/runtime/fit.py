@@ -304,7 +304,11 @@ class Trainer:
                 if meta is not None
                 else list(range(len(results), len(results) + batch["image"].shape[0]))
             )
-            processed_np = jax.tree.map(np.asarray, processed)
+            # one tunnel transfer for all detection tensors (axon fetch
+            # round trips otherwise dominate val wall time; detector.py)
+            from .detector import _fetch_packed
+
+            processed_np = _fetch_packed(processed)
             results.update(detections_to_results(processed_np, img_ids))
             if viz is not None and viz.image is None and meta is not None:
                 img_id0 = int(img_ids[0])
