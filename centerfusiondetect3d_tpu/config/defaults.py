@@ -117,6 +117,11 @@ def default_config() -> ConfigNode:
     # >= the network input (nuScenes 1600x900 -> 800x450 vs 800x448 input);
     # ~3x cheaper host decode. False = reference full-resolution decode.
     c.TEST.FAST_DECODE = True
+    # largest per-program device batch for serving: bs>6 falls off an XLA
+    # fusion cliff on v5e (temp memory 400 MiB -> 3.2 GiB, 112 -> 40 fps
+    # measured at bs12 — the shift-DCN accumulations stop fusing); Detector
+    # splits larger batches into sequential programs of this size. 0 = off.
+    c.TEST.MAX_DEVICE_BATCH = 6
 
     # --- TPU-native runtime options (replace GPUS/DDP/CUDNN sections) -------
     c.TPU = ConfigNode()

@@ -60,8 +60,8 @@ class Loader:
     def __len__(self):
         n = len(self.dataset)
         if self.shard:
-            sid, ns = self.shard
-            n = len(range(sid, n, ns))
+            # padded shards (see _indices) are all exactly ceil(n/ns) long
+            n = -(-n // self.shard[1])
         return n // self.batch_size if self.drop_last else -(-n // self.batch_size)
 
     def _indices(self) -> np.ndarray:
@@ -72,6 +72,13 @@ class Loader:
             np.random.RandomState(self.seed + self.epoch).shuffle(idx)
         if self.shard:
             sid, ns = self.shard
+            # pad to a multiple of num_shards by repeating leading indices
+            # (torch DistributedSampler semantics): every shard gets the SAME
+            # length, so every process yields the same batch count — unequal
+            # counts deadlock the SPMD collectives on the extra step
+            pad = (-len(idx)) % ns
+            if pad:
+                idx = np.concatenate([idx, idx[:pad]])
             idx = idx[sid::ns]
         return idx
 

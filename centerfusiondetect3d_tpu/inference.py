@@ -61,14 +61,18 @@ def iter_frames(source: str):
         yield os.path.basename(source), source
 
 
-def draw_detections(img, items, class_names, conf_thresh: float):
+def draw_detections(img, items, class_names, conf_thresh: float,
+                    scale: float = 1.0):
+    """``scale``: factor by which ``img`` was downscaled at decode time
+    (TEST.FAST_DECODE) — detections are in original-image coordinates, so
+    boxes are divided by it before drawing."""
     import cv2
 
     out = img.copy()
     for it in items:
         if it["score"] < conf_thresh or "bbox" not in it:
             continue
-        x1, y1, x2, y2 = [int(v) for v in it["bbox"]]
+        x1, y1, x2, y2 = [int(v / scale) for v in it["bbox"]]
         cls = class_names[int(it["class"] - 1)]
         cv2.rectangle(out, (x1, y1), (x2, y2), (0, 255, 0), 2)
         cv2.putText(out, f"{cls} {it['score']:.2f}", (x1, max(y1 - 4, 10)),
@@ -117,9 +121,10 @@ def main(argv=None):
         if args.save_dir:
             import cv2
 
-            img = detector.load_data(frame)[0]
+            imgs, dscales = detector.load_data(frame, return_scales=True)
+            img = imgs[0]
             vis = draw_detections(img, items, NuScenesDataset.class_name,
-                                  args.conf_thresh)
+                                  args.conf_thresh, scale=dscales[0])
             stem = os.path.splitext(name)[0]
             cv2.imwrite(os.path.join(args.save_dir, f"{stem}_det.jpg"), vis)
             if args.show_attention:

@@ -99,6 +99,20 @@ def _hat(v):
     return jnp.maximum(0.0, 1.0 - jnp.abs(v))
 
 
+def _st_clip(v, lo, hi):
+    """Clip with a straight-through gradient.
+
+    Forward: jnp.clip. Backward: identity. A hard clip has zero gradient
+    outside [lo, hi], so a TPU-trained model could never learn offsets past
+    the shift window even when the loss wants them there (the reference's
+    deform_conv2d never clamps, dla.py:461-472); the straight-through
+    estimator keeps the forward approximation while letting gradient signal
+    push offsets back in range (or tell the user to raise DCN_MAX_OFFSET —
+    checkpoint loading logs when trained offsets exceed the window).
+    """
+    return v + jax.lax.stop_gradient(jnp.clip(v, lo, hi) - v)
+
+
 def deform_conv2d_shift(x, offset, mask, weight, bias=None, *,
                         max_offset: float = 2.0):
     """Modulated 3x3 stride-1 DCNv2 via static shifted windows — no gathers.
@@ -122,8 +136,8 @@ def deform_conv2d_shift(x, offset, mask, weight, bias=None, *,
     every offset is in range; trained DLA node offsets are small). Cost
     scales as ``9 * (2R+2)^2`` fused multiply-adds over (B, H, W, C), so
     keep R small (R=2 -> 324 terms). Fully differentiable (plain jnp ops;
-    clip passes gradients inside the range), chains safely under jit on any
-    backend. Same torchvision layouts as ``deform_conv2d``
+    the clamp is straight-through, so offset gradients stay nonzero even
+    outside ±R), chains safely under jit on any backend. Same torchvision layouts as ``deform_conv2d``
     (reference dla.py:461-472).
     """
     b, h, w, c = x.shape
@@ -143,8 +157,8 @@ def deform_conv2d_shift(x, offset, mask, weight, bias=None, *,
     out = None
     for k in range(9):
         i, j = divmod(k, 3)
-        ty = jnp.clip(offset[..., 2 * k:2 * k + 1], -r, r) + (i - 1)
-        tx = jnp.clip(offset[..., 2 * k + 1:2 * k + 2], -r, r) + (j - 1)
+        ty = _st_clip(offset[..., 2 * k:2 * k + 1], -r, r) + (i - 1)
+        tx = _st_clip(offset[..., 2 * k + 1:2 * k + 2], -r, r) + (j - 1)
         tap = None
         for gy in range(i - 1 - r_lo, i - 1 + r_hi + 1):
             wy = _hat(gy - ty).astype(dtype)  # (B, H, W, 1)

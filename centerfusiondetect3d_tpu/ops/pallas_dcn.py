@@ -48,6 +48,7 @@ op is trainable everywhere the slow path is.
 from __future__ import annotations
 
 import functools
+import math
 
 import jax
 import jax.numpy as jnp
@@ -191,7 +192,9 @@ def deform_conv2d_pallas(x, offset, mask, weight, bias=None, *,
     if not interpret:
         _ensure_warm(x.shape, x.dtype, o, max_offset, block_rows)
     r = float(max_offset)
-    pad = int(max_offset) + 2
+    # ceil: the kernel's column-shift bound is ceil(r), so padding must
+    # cover it for fractional max_offset too
+    pad = math.ceil(max_offset) + 2
 
     br = h if h <= 2 * block_rows else block_rows
     nrb = -(-h // br)

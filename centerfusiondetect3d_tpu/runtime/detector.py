@@ -99,7 +99,13 @@ def _fetch_packed(processed: Dict[str, Any]) -> Dict[str, np.ndarray]:
     """
     keys = sorted(processed)
     shapes = {k: tuple(processed[k].shape) for k in keys}
-    b, kk = shapes[keys[0]][0], shapes[keys[0]][1] if len(shapes[keys[0]]) > 1 else 1
+    # key the pack shape off 'scores' — always (B, K) in the decode output —
+    # never off whatever key happens to sort first (a future (B,)-shaped
+    # entry would silently push everything to the unpacked slow path)
+    anchor = "scores" if "scores" in shapes else keys[0]
+    if len(shapes[anchor]) < 2:
+        return {k: np.asarray(processed[k]) for k in keys}
+    b, kk = shapes[anchor][0], shapes[anchor][1]
     packable = [
         k for k in keys
         if len(shapes[k]) >= 2 and shapes[k][0] == b and shapes[k][1] == kk
@@ -306,11 +312,42 @@ class Detector:
         trans_inv = stack_inverse_transforms(
             [m["center"] for m in metas], [m["scale"] for m in metas], (ow, oh)
         )
+        image = np.asarray(batch["image"])
+        pc_dep = np.asarray(batch["pc_dep"]) if "pc_dep" in batch else None
+        calib = np.asarray(batch["calib"])
+        trans_inv = np.asarray(trans_inv)
+        nimg = image.shape[0]
+        max_db = int(self.config.TEST.get("MAX_DEVICE_BATCH", 6))
+        if max_db > 0 and nimg > max_db:
+            # bs>MAX_DEVICE_BATCH falls off an XLA fusion cliff (measured:
+            # bs12 = 39.7 fps vs bs6 = 111.9 on v5e, +2.7 GiB temp memory) —
+            # run sequential sub-batch programs and concatenate on device
+            if not getattr(self, "_warned_split", False):
+                self._warned_split = True
+                import logging
+
+                logging.getLogger("cfd3d.detector").warning(
+                    "batch %d > TEST.MAX_DEVICE_BATCH=%d: splitting into "
+                    "sequential device programs (larger single programs "
+                    "regress ~3x on v5e via an XLA fusion cliff)",
+                    nimg, max_db,
+                )
+            chunks = []
+            for s in range(0, nimg, max_db):
+                e = min(s + max_db, nimg)
+                chunks.append(self._infer(
+                    self.variables,
+                    jnp.asarray(image[s:e]),
+                    jnp.asarray(pc_dep[s:e]) if pc_dep is not None else None,
+                    jnp.asarray(calib[s:e]),
+                    jnp.asarray(trans_inv[s:e]),
+                ))
+            return jax.tree.map(lambda *xs: jnp.concatenate(xs, axis=0), *chunks)
         return self._infer(
             self.variables,
-            jnp.asarray(batch["image"]),
-            jnp.asarray(batch["pc_dep"]) if "pc_dep" in batch else None,
-            jnp.asarray(batch["calib"]),
+            jnp.asarray(image),
+            jnp.asarray(pc_dep) if pc_dep is not None else None,
+            jnp.asarray(calib),
             jnp.asarray(trans_inv),
         )
 

@@ -91,3 +91,19 @@ def test_loader_prefetch_error_propagates(tmp_path):
     assert next(it) == 1
     with pytest.raises(RuntimeError):
         list(it)
+
+
+def test_draw_detections_scale():
+    """FAST_DECODE overlays: boxes (original-image coords) are divided by the
+    decode scale so they land correctly on the half-resolution frame."""
+    import numpy as np
+
+    from centerfusiondetect3d_tpu.inference import draw_detections
+
+    img = np.zeros((100, 100, 3), np.uint8)
+    items = [{"score": 0.9, "class": 1.0,
+              "bbox": np.array([40.0, 40.0, 160.0, 160.0])}]
+    out = draw_detections(img, items, ["car"] * 10, 0.5, scale=2.0)
+    # rectangle drawn at 20..80, not clipped at the frame edge
+    assert out[20, 50].any() and out[80, 50].any()
+    assert not out[95, 50].any()  # below the scaled box: nothing drawn

@@ -196,3 +196,28 @@ def test_loader_augments_without_shuffle(cfg):
     b_aug2 = next(iter(Loader(ds, batch_size=2, shuffle=False, prefetch=0,
                               seed=11, augment=True)))
     np.testing.assert_array_equal(b_aug["image"], b_aug2["image"])
+
+
+def test_loader_shard_padding_equalizes_batch_counts():
+    """len(dataset) % num_shards != 0: shards pad by repeating leading
+    indices (DistributedSampler semantics) so every process yields the SAME
+    batch count — unequal counts deadlock SPMD collectives (ADVICE r2)."""
+    from centerfusiondetect3d_tpu.data.pipeline import Loader
+
+    class DS:
+        def __len__(self):
+            return 11
+
+        def get_item(self, i, rng=None):
+            return {"idx": np.array([i], np.int64)}
+
+    counts, seen = [], set()
+    for sid in (0, 1):
+        loader = Loader(DS(), 1, shuffle=True, seed=5, drop_last=False,
+                        num_threads=1, drop_keys=(), shard=(sid, 2))
+        ids = [int(v) for b in loader for v in b["idx"][:, 0]]
+        assert len(ids) == len(loader)
+        counts.append(len(ids))
+        seen.update(ids)
+    assert counts == [6, 6]  # ceil(11/2) each, one duplicated index
+    assert seen == set(range(11))  # padding never drops coverage

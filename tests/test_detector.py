@@ -195,3 +195,52 @@ def test_detector_normalizes_float_frames(detector, rng):
     s_u8 = [it["score"] for it in ret_u8["results"][0]]
     s_f32 = [it["score"] for it in ret_f32["results"][0]]
     np.testing.assert_allclose(s_u8, s_f32, rtol=1e-3, atol=1e-4)
+
+
+def test_fetch_packed_with_vector_entry():
+    """A (B,)-shaped entry that sorts first must not disable the packed
+    single-transfer path — the pack shape keys off 'scores' explicitly."""
+    import jax.numpy as jnp
+
+    from centerfusiondetect3d_tpu.runtime.detector import _fetch_packed
+
+    rng = np.random.RandomState(0)
+    b, k = 3, 5
+    processed = {
+        "aaa_flag": jnp.asarray(rng.rand(b).astype(np.float32)),  # sorts first
+        "scores": jnp.asarray(rng.rand(b, k).astype(np.float32)),
+        "classes": jnp.asarray(rng.randint(0, 10, (b, k)).astype(np.float32)),
+        "location": jnp.asarray(rng.randn(b, k, 3).astype(np.float32)),
+    }
+    out = _fetch_packed(processed)
+    for key, val in processed.items():
+        np.testing.assert_allclose(out[key], np.asarray(val), rtol=1e-6)
+
+
+def test_batch_split_guard(detector, rng, caplog):
+    """Batches larger than TEST.MAX_DEVICE_BATCH split into sequential device
+    programs (the v5e bs>6 XLA fusion cliff) with identical results."""
+    import logging
+
+    cfg = detector.config.clone()
+    cfg.defrost()
+    cfg.TEST.MAX_DEVICE_BATCH = 2
+    cfg.freeze()
+    det = Detector(cfg, variables=detector.variables, batch_size=5)
+    imgs = [(rng.rand(240, 320, 3) * 255).astype(np.uint8) for _ in range(5)]
+    radars = [np.zeros((18, 0), np.float32)] * 5
+    with caplog.at_level(logging.WARNING, logger="cfd3d.detector"):
+        ret = det.run(imgs, radar_pcs=radars)
+    assert any("MAX_DEVICE_BATCH" in r.message for r in caplog.records)
+    assert set(ret["results"]) == {0, 1, 2, 3, 4}
+
+    cfg2 = detector.config.clone()
+    cfg2.defrost()
+    cfg2.TEST.MAX_DEVICE_BATCH = 0  # guard off: one bs5 program
+    cfg2.freeze()
+    det2 = Detector(cfg2, variables=detector.variables, batch_size=5)
+    ret2 = det2.run(imgs, radar_pcs=radars)
+    for i in range(5):
+        a = sorted(it["score"] for it in ret["results"][i])
+        c = sorted(it["score"] for it in ret2["results"][i])
+        np.testing.assert_allclose(a, c, rtol=1e-4, atol=1e-5)
