@@ -34,7 +34,8 @@ class Loader:
     def __init__(self, dataset, batch_size: int, shuffle: bool = False,
                  seed: int = 0, drop_last: bool = True, num_threads: int = 2,
                  prefetch: int = 2, drop_keys=("meta",),
-                 augment: Optional[bool] = None, shard=None):
+                 augment: Optional[bool] = None, shard=None,
+                 pad_to_batch: bool = False):
         """``augment`` controls training augmentation explicitly; it defaults
         to ``shuffle`` for backward compatibility but is independent — a
         SHUFFLE=False training run still augments (the reference couples
@@ -44,6 +45,13 @@ class Loader:
         process iterates a disjoint strided slice of the (identically
         shuffled) index stream, the reference's per-rank DistributedSampler
         arrangement (main.py:100,117); batch_size is the per-process size.
+
+        ``pad_to_batch``: pad the index stream (after shard slicing) to a
+        multiple of batch_size by repeating leading indices, so every batch
+        is full-size. Used by sharded multi-process eval: equal, full batches
+        on every process keep the SPMD step counts and shapes identical
+        (duplicated images dedup downstream through the img_id-keyed results
+        dict).
         """
         self.dataset = dataset
         self.batch_size = batch_size
@@ -55,6 +63,7 @@ class Loader:
         self.prefetch = prefetch
         self.drop_keys = set(drop_keys or ())
         self.shard = tuple(shard) if shard else None
+        self.pad_to_batch = bool(pad_to_batch)
         self.epoch = 0
 
     def __len__(self):
@@ -63,6 +72,11 @@ class Loader:
             # padded shards (see _indices) are all exactly ceil(n/ns) long
             n = -(-n // self.shard[1])
         return n // self.batch_size if self.drop_last else -(-n // self.batch_size)
+
+    @property
+    def n_padded(self) -> int:
+        """Items yielded per epoch including pad duplicates."""
+        return len(self._indices())
 
     def _indices(self) -> np.ndarray:
         idx = np.arange(len(self.dataset))
@@ -80,6 +94,10 @@ class Loader:
             if pad:
                 idx = np.concatenate([idx, idx[:pad]])
             idx = idx[sid::ns]
+        if self.pad_to_batch:
+            pad = (-len(idx)) % self.batch_size
+            if pad:
+                idx = np.concatenate([idx, idx[:pad]])
         return idx
 
     def _build(self, index: int, sample_seed: int):

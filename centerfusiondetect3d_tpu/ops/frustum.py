@@ -16,9 +16,12 @@ and a per-pixel "highest box index wins" argmax to reproduce the overwrite
 order — no host sync, fully jit/vmap-able. The asymmetric ``+1`` column quirk
 of the reference paint rectangle (pointcloud.py:478) is reproduced.
 
-Deviation (documented): boxes whose integer crop bounds go negative use
-clamped-to-zero crops rather than Python's negative-index wraparound slicing,
-which in the reference silently yields an empty crop.
+Negative crop/paint bounds reproduce Python's negative-index slice semantics
+exactly (``a[s:e]`` with ``s<0`` starts at ``max(len+s, 0)``, ``e<0`` stops at
+``max(len+e, 0)``): in the reference a box whose integer bounds go negative
+usually yields an EMPTY crop (no radar match, no paint), and a box fully above
+the image wraps its paint rectangle to the bottom rows — both are reproduced
+bit-for-bit and confirmed by executed-torch goldens (frustum_cases.npz).
 """
 
 from __future__ import annotations
@@ -30,6 +33,15 @@ import jax.numpy as jnp
 
 from .decode import topk_peaks, gather_feature
 from ..geometry.transforms3d import get_alpha, distance_thresh
+
+
+def _pyslice_mask(iota, start, stop, size: int):
+    """Boolean (K, size) mask replicating python ``a[start:stop]`` slicing
+    semantics per box, including negative-index wraparound (the reference
+    crops/paints with raw python slices, pointcloud.py:436,478-481)."""
+    s = jnp.where(start < 0, jnp.maximum(size + start, 0), start)
+    e = jnp.where(stop < 0, jnp.maximum(size + stop, 0), stop)
+    return (iota >= s[:, None]) & (iota < e[:, None])
 
 
 @functools.partial(jax.vmap, in_axes=(0, 0, 0, 0, None))
@@ -46,13 +58,14 @@ def _associate_one(pc_dep, depth, bboxes, thresh, max_pc_dist):
     rows = jax.lax.broadcasted_iota(jnp.int32, (k, height), 1)
     cols = jax.lax.broadcasted_iota(jnp.int32, (k, width), 1)
 
-    # integer crop bounds: floor(x1), floor(y1), ceil(x2), ceil(y2), inclusive
+    # integer crop bounds: floor(x1), floor(y1), ceil(x2), ceil(y2), sliced
+    # [y1 : y2+1, x1 : x2+1] with python semantics (wraparound on negatives)
     x1 = jnp.floor(bboxes[:, 0]).astype(jnp.int32)
     y1 = jnp.floor(bboxes[:, 1]).astype(jnp.int32)
     x2 = jnp.ceil(bboxes[:, 2]).astype(jnp.int32)
     y2 = jnp.ceil(bboxes[:, 3]).astype(jnp.int32)
-    row_in = (rows >= jnp.maximum(y1, 0)[:, None]) & (rows <= y2[:, None])  # (K, H)
-    col_in = (cols >= jnp.maximum(x1, 0)[:, None]) & (cols <= x2[:, None])  # (K, W)
+    row_in = _pyslice_mask(rows, y1, y2 + 1, height)  # (K, H)
+    col_in = _pyslice_mask(cols, x1, x2 + 1, width)  # (K, W)
     crop = row_in[:, :, None] & col_in[:, None, :]  # (K, H, W)
 
     # frustum depth window over nonzero radar pixels
@@ -85,8 +98,10 @@ def _associate_one(pc_dep, depth, bboxes, thresh, max_pc_dist):
     h_min = jnp.trunc(cy - h_int / 2.0).astype(jnp.int32)
     h_max = jnp.trunc(cy + h_int / 2.0).astype(jnp.int32)
 
-    prow = (rows >= jnp.maximum(h_min, 0)[:, None]) & (rows <= h_max[:, None])
-    pcol = (cols >= jnp.maximum(w_min, 0)[:, None]) & (cols <= (w_max + 1)[:, None])
+    # paint slice [h_min : h_max+1, w_min : w_max+1+1] (python semantics;
+    # the +1+1 column quirk is pointcloud.py:478)
+    prow = _pyslice_mask(rows, h_min, h_max + 1, height)
+    pcol = _pyslice_mask(cols, w_min, w_max + 2, width)
     paint = prow[:, :, None] & pcol[:, None, :] & matched[:, None, None]  # (K, H, W)
 
     # overwrite order: the highest covering box index wins; prio values

@@ -56,17 +56,34 @@ def shard_batch(batch: Dict[str, Any], mesh: Mesh) -> Dict[str, Any]:
     n_data = mesh.shape[DATA_AXIS]
     sharded = batch_sharding(mesh)
     replicated_s = replicated(mesh)
-    multiproc = jax.process_count() > 1
-    local_data = max(1, n_data // jax.process_count())
+    # multi-process semantics only when the MESH spans processes: a
+    # process-local mesh (e.g. rank-sharded eval) uses plain device_put even
+    # in a multi-process run
+    pidx = jax.process_index()
+    mesh_procs = {d.process_index for d in mesh.devices.flat}
+    multiproc = mesh_procs != {pidx}
+    local_data = max(1, n_data // max(1, len(mesh_procs)))
 
     def put(x):
         arr = np.asarray(x) if not hasattr(x, "shape") else x
         if multiproc:
             fits = (arr.ndim >= 1 and arr.shape[0] > 0
                     and arr.shape[0] % local_data == 0)
-            return jax.make_array_from_process_local_data(
-                sharded if fits else replicated_s, np.asarray(arr)
-            )
+            if fits:
+                return jax.make_array_from_process_local_data(
+                    sharded, np.asarray(arr)
+                )
+            # batch-leading array whose local rows don't divide the local
+            # device count: a naive replicated assembly would treat each
+            # process's DIFFERENT shard as the same global value (silently
+            # wrong). Assemble the true global batch on every process first,
+            # then replicate — correctness over parallelism.
+            arr = np.asarray(arr)
+            if arr.ndim >= 1 and arr.shape[0] > 0:
+                from jax.experimental.multihost_utils import process_allgather
+
+                arr = np.asarray(process_allgather(arr, tiled=True))
+            return jax.make_array_from_process_local_data(replicated_s, arr)
         fits = arr.ndim >= 1 and arr.shape[0] % n_data == 0 and arr.shape[0] > 0
         return jax.device_put(x, sharded if fits else replicated_s)
 

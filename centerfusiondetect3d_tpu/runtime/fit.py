@@ -203,8 +203,8 @@ class Trainer:
         flip_test = bool(cfg.TEST.FLIP_TEST)
         debug = int(cfg.DEBUG) > 0
 
-        def eval_step(state, batch, trans_mat):
-            variables = {"params": state.params, "batch_stats": state.batch_stats}
+        def eval_step(params, batch_stats, batch, trans_mat):
+            variables = {"params": params, "batch_stats": batch_stats}
             if flip_test:
                 from ..ops import flip_forward
 
@@ -238,50 +238,78 @@ class Trainer:
     def val(self, loader: Optional[Loader] = None):
         """Validation + native NDS scoring.
 
-        Multi-process note: the val loader is deliberately NOT sharded —
-        every process evaluates the full split identically (redundant but
-        deadlock-free; per-process batch counts could otherwise diverge on
-        the remainder). Sharded eval with a process_allgather merge
-        (parallel.all_gather_detections) is validated at the op level
-        (tests/test_multiprocess.py) and reserved for real multi-host runs.
+        Multi-process runs shard the split across processes (the reference's
+        rank-sharded eval, progressBar.py:85-93,177-185): each process builds
+        a padded equal-length index shard (identical batch counts and batch
+        sizes everywhere), evaluates it on a PROCESS-LOCAL device mesh — the
+        eval program has no cross-sample coupling, so it needs no
+        cross-process collectives; putting psums inside it would only add
+        gloo/ICI traffic and (measured on the gloo CPU backend) can deadlock
+        when concurrent per-loss reductions race communicator setup — and
+        merges the fixed-size per-batch detection tensors with ONE
+        process_allgather per batch. Pad duplicates dedup through the
+        img_id-keyed results dict; every rank ends with the identical full
+        results. Loss meters are rank-local. Live-validated by the 2-process
+        test in tests/test_multiprocess.py.
         """
         cfg = self.config
+        multiproc = jax.process_count() > 1
+        eval_mesh = self.mesh
+        if multiproc:
+            eval_mesh = make_mesh(devices=jax.local_devices())
         if loader is None:
+            shard = (
+                (jax.process_index(), jax.process_count()) if multiproc else None
+            )
             loader = Loader(
                 self.dataset_val, cfg.TEST.BATCH_SIZE, shuffle=False,
                 num_threads=cfg.WORKERS, drop_last=False, drop_keys=(),
+                shard=shard, pad_to_batch=multiproc,
             )
         if self.state is None:
             first = next(iter(loader))
             self.init_state(first)
         if self._eval_step is None:
             self._eval_step = self._build_eval_step()
-            # one-time FLOPs report (thop analogue, trainer.py:112-117)
-            try:
-                first = next(iter(loader))
-                first.pop("meta", None)
-                cost = self.profile(first)
-                if cost:
-                    self.logger.info(
-                        "model cost: %.2f GFLOPs, %.2f GiB accessed (per batch)",
-                        cost.get("flops", 0) / 1e9,
-                        cost.get("bytes_accessed", 0) / 2 ** 30,
-                    )
-            except Exception:
-                pass
+            # one-time FLOPs report (thop analogue, trainer.py:112-117);
+            # single-process only (lowering against the global state would
+            # drag the global mesh into the local eval path)
+            if not multiproc:
+                try:
+                    first = next(iter(loader))
+                    first.pop("meta", None)
+                    cost = self.profile(first)
+                    if cost:
+                        self.logger.info(
+                            "model cost: %.2f GFLOPs, %.2f GiB accessed (per batch)",
+                            cost.get("flops", 0) / 1e9,
+                            cost.get("bytes_accessed", 0) / 2 ** 30,
+                        )
+                except Exception:
+                    pass
+        # rank-local replica of the weights for the process-local eval mesh
+        eval_params, eval_stats = self.state.params, self.state.batch_stats
+        if multiproc:
+            from ..parallel.mesh import replicated as replicated_sharding
+
+            lrepl = replicated_sharding(eval_mesh)
+            eval_params, eval_stats = jax.tree.map(
+                lambda x: jax.device_put(np.asarray(x), lrepl),
+                (eval_params, eval_stats),
+            )
 
         results: Dict[int, list] = {}
         meters = defaultdict(AverageMeter)
         oh, ow = cfg.MODEL.OUTPUT_SIZE
         viz = None
-        if int(cfg.DEBUG) > 0 and self.dataset_val is not None:
+        if int(cfg.DEBUG) > 0 and self.dataset_val is not None and not multiproc:
             # first-val-sample overlays (WandbLogger analogue, logger.py:78-171)
             from ..utils.visualize import ValVisualizer
 
             viz = ValVisualizer(self.output_dir, cfg, self.dataset_val)
         for batch in loader:
             meta = batch.pop("meta", None)
-            jbatch = shard_batch(batch, self.mesh)
+            jbatch = shard_batch(batch, eval_mesh)
             nimg = batch["image"].shape[0]
             if meta is not None:
                 centers = np.asarray(meta["center"], np.float32)
@@ -294,7 +322,7 @@ class Trainer:
             # per-image inverse matrices (reference postProcess.py:31-43)
             trans_mat = stack_inverse_transforms(centers, scales, (ow, oh))
             processed, loss, parts, pred_pc_hm = self._eval_step(
-                self.state, jbatch, trans_mat
+                eval_params, eval_stats, jbatch, trans_mat
             )
             meters["total"].update(float(loss))
             for k_, v in parts.items():
@@ -309,6 +337,17 @@ class Trainer:
             from .detector import _fetch_packed
 
             processed_np = _fetch_packed(processed)
+            if multiproc:
+                # merge ranks: ids ride in the same payload so rows and ids
+                # stay paired (tiled allgather concatenates process shards in
+                # process-index order on both)
+                from jax.experimental.multihost_utils import process_allgather
+
+                payload = dict(processed_np)
+                payload["_img_ids"] = np.asarray(img_ids, np.int64)
+                gathered = process_allgather(payload, tiled=True)
+                img_ids = np.asarray(gathered.pop("_img_ids")).tolist()
+                processed_np = {k: np.asarray(v) for k, v in gathered.items()}
             results.update(detections_to_results(processed_np, img_ids))
             if viz is not None and viz.image is None and meta is not None:
                 img_id0 = int(img_ids[0])

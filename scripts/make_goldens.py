@@ -391,7 +391,131 @@ def gen_dcn(torch, out_dir):
     print(f"wrote dcn.npz (source: {source})")
 
 
-def gen_model(torch, out_dir, node="Conv", fusion="middle", tag=""):
+def gen_frustum(torch, out_dir):
+    """Frustum-association goldens by EXECUTING the reference
+    ``getPcFrustumHeatmap`` / ``cvtPcDepthToHeatmap``
+    (/root/reference/src/lib/utils/pointcloud.py:331-481) — pure torch+numpy,
+    so they generate in-image. Two fixtures:
+
+    * ``frustum_full.npz`` — the whole top-K association from first-stage
+      head maps (exercises the reference's topk + gather + distance-thresh
+      chain) on crafted peaks: corner boxes with negative crop bounds, boxes
+      beyond the image, a huge all-image box, out-of-range depths, negative
+      widthHeight (clamped), overlapping paint rects, and a min-depth tie.
+    * ``frustum_cases.npz`` — direct per-box ``cvtPcDepthToHeatmap`` calls
+      pinning the python-slice wraparound semantics (negative starts/stops),
+      each on a fresh canvas plus one sequential overwrite-order run.
+    """
+    import utils.pointcloud as pc
+    from config import config
+
+    t = torch.from_numpy
+    rs = np.random.RandomState(23)
+    b, c, h, w, K = 2, 10, 16, 24, 16
+    max_dist = 60.0
+    config.defrost()
+    config.MODEL.K = K
+    config.DATASET.MAX_PC_DIST = max_dist
+
+    # sparse radar map [depth, vel_x, vel_z]
+    pc_dep = np.zeros((b, 3, h, w), np.float32)
+    for bi in range(b):
+        n = 70
+        ys_, xs_ = rs.randint(0, h, n), rs.randint(0, w, n)
+        pc_dep[bi, 0, ys_, xs_] = rs.uniform(1.0, 65.0, n)
+        pc_dep[bi, 1, ys_, xs_] = rs.randn(n)
+        pc_dep[bi, 2, ys_, xs_] = rs.randn(n)
+    # deliberate duplicated-minimum tie (argmin must pick the first in
+    # crop-row-major order)
+    pc_dep[0, 0, 3, 2] = pc_dep[0, 0, 3, 5] = 12.5
+    pc_dep[0, 1, 3, 2], pc_dep[0, 1, 3, 5] = 0.7, -0.7
+
+    heatmap = (1 / (1 + np.exp(-rs.randn(b, c, h, w) * 2))).astype(np.float32) * 0.5
+    wh = (np.abs(rs.randn(b, 2, h, w)) * 6).astype(np.float32)
+    depth = (np.abs(rs.randn(b, 1, h, w)) * 25 + 1).astype(np.float32)
+    dim = (np.abs(rs.randn(b, 3, h, w)) + 0.5).astype(np.float32)
+    rot = rs.randn(b, 8, h, w).astype(np.float32)
+
+    peaks = [  # (y, x, box_w, box_h, depth)
+        (3, 3, 6.0, 5.0, 12.0),     # covers the tie region
+        (0, 0, 8.0, 7.0, 20.0),     # top-left: negative crop bounds (wrap)
+        (15, 23, 9.0, 9.0, 30.0),   # bottom-right: x2/y2 beyond the image
+        (8, 12, 40.0, 28.0, 25.0),  # huge box spanning everything
+        (5, 20, 4.0, 3.0, 200.0),   # depth outside radar range: no match
+        (10, 5, -3.0, 4.0, 15.0),   # negative width (clamped to 0)
+        (12, 8, 5.0, 4.0, 10.0),    # overlapping paint rect ...
+        (12, 10, 6.0, 5.0, 40.0),   # ... overwritten by this later box
+    ]
+    score = 0.99
+    for bi in range(b):
+        for (py, px, pw, ph, pd) in peaks:
+            cls = rs.randint(0, c)
+            heatmap[bi, cls, py, px] = score
+            score -= 0.004
+            wh[bi, 0, py, px], wh[bi, 1, py, px] = pw, ph
+            depth[bi, 0, py, px] = pd
+
+    calib = np.tile(
+        np.array([[400.0, 0, w * 2.0, 0], [0, 400.0, h * 2.0, 0], [0, 0, 1, 0]],
+                 np.float32), (b, 1, 1))
+    with torch.no_grad():
+        out = pc.getPcFrustumHeatmap(
+            {"heatmap": t(heatmap), "widthHeight": t(wh.copy()),
+             "depth": t(depth), "dimension": t(dim), "rotation": t(rot)},
+            t(pc_dep.copy()), t(calib), config)
+    np.savez(os.path.join(out_dir, "frustum_full.npz"),
+             heatmap=heatmap, widthHeight=wh, depth=depth, dimension=dim,
+             rotation=rot, pc_dep=pc_dep, calib=calib,
+             out_pc_hm=out.numpy(),
+             meta=np.array([K, max_dist], np.float64))
+    print("wrote frustum_full.npz")
+
+    # ---- direct cvtPcDepthToHeatmap cases (python-slice wraparound pinning)
+    H2, W2 = 12, 20
+    pcd = np.zeros((3, H2, W2), np.float32)
+    n = 50
+    ys_, xs_ = rs.randint(0, H2, n), rs.randint(0, W2, n)
+    pcd[0, ys_, xs_] = rs.uniform(1.0, 55.0, n)
+    pcd[1, ys_, xs_] = rs.randn(n)
+    pcd[2, ys_, xs_] = rs.randn(n)
+    pcd[0, 2, 3] = pcd[0, 2, 7] = 9.0  # tie
+    cases = [  # (bbox xyxy, depth, thresh)
+        ([2.2, 3.1, 8.7, 9.9], 15.0, 12.0),     # ordinary interior box
+        ([-4.0, 2.0, 3.0, 8.0], 10.0, 8.0),     # x1<0: crop wraps (empty-ish)
+        ([1.0, -6.0, 7.0, -1.5], 20.0, 10.0),   # fully above: empty crop
+        ([-16.0, 1.0, 18.0, 9.0], 10.0, 9.0),   # match, paint start wraps neg
+        ([-25.0, 0.0, 5.0, 11.0], 10.0, 9.0),   # match, paint slice wraps to
+                                                # a non-empty mid-row band
+        ([14.0, 6.0, 26.0, 13.0], 30.0, 25.0),  # x2/y2 beyond image (clamped)
+        ([4.0, 4.0, 11.0, 10.0], 2.0, 1.0),     # window floor max(0, d-thr)
+        ([0.0, 0.0, 19.0, 11.0], 9.0, 3.0),     # full-image box, hits tie
+    ]
+    singles = []
+    with torch.no_grad():
+        for bbox, d, thr in cases:
+            canvas = torch.zeros(3, H2, W2)
+            pc.cvtPcDepthToHeatmap(canvas, t(pcd.copy()), torch.tensor([d]),
+                                   torch.tensor(bbox), torch.tensor(thr),
+                                   max_dist)
+            singles.append(canvas.numpy())
+        seq = torch.zeros(3, H2, W2)
+        for bbox, d, thr in cases:
+            pc.cvtPcDepthToHeatmap(seq, t(pcd.copy()), torch.tensor([d]),
+                                   torch.tensor(bbox), torch.tensor(thr),
+                                   max_dist)
+    np.savez(os.path.join(out_dir, "frustum_cases.npz"),
+             pc_dep=pcd,
+             bboxes=np.array([cs[0] for cs in cases], np.float32),
+             depths=np.array([cs[1] for cs in cases], np.float32),
+             threshs=np.array([cs[2] for cs in cases], np.float32),
+             out_single=np.stack(singles),
+             out_sequential=seq.numpy(),
+             max_dist=np.float64(max_dist))
+    print(f"wrote frustum_cases.npz ({len(cases)} cases)")
+
+
+def gen_model(torch, out_dir, node="Conv", fusion="middle", tag="",
+              frustum=False):
     """FULL-MODEL golden: run the reference DLASeg (Conv/GlobalConv nodes —
     no torchvision needed) in eval mode on seeded inputs and save its
     state_dict + outputs.
@@ -402,9 +526,17 @@ def gen_model(torch, out_dir, node="Conv", fusion="middle", tag=""):
     checkpoint importer, DLA backbone, neck, BN statistics handling, and
     head towers against the actual torch reference in one shot
     (dla.py:164-635, base_model.py:30-106, detectHeads.py:32-132).
-    FRUSTUM stays off so pc_hm is the deterministic eval normalization of
+    With ``frustum=False`` pc_hm is the deterministic eval normalization of
     pc_dep (base_model.py:67-79). Variants: middle fusion (secondary
     heads), early fusion (input concat), GlobalConv nodes.
+
+    ``frustum=True`` captures the full two-stage eval composition the
+    project exists for: first-stage heads -> predicted boxes -> frustum
+    pc_hm from pc_dep -> secondary towers -> depth2/rotation2 overrides
+    (detectHeads.py:165-190). Frustum changes only the eval data flow, not
+    the parameters, so with the same torch seed the state_dict is identical
+    to the frustum=False variant — these fixtures store inputs/outputs plus
+    an sd checksum and reuse the base fixture's weights at test time.
     """
     from config import config, updateDatasetAndModelConfig
     from model.model import getModel
@@ -428,8 +560,10 @@ def gen_model(torch, out_dir, node="Conv", fusion="middle", tag=""):
     config.defrost()
     config.DATASET.DATASET = "nuscenes"
     config.DATASET.RADAR_PC = True
+    config.DATASET.MAX_PC_DIST = 60.0
     config.MODEL.FUSION_STRATEGY = fusion
-    config.MODEL.FRUSTUM = False
+    config.MODEL.FRUSTUM = bool(frustum)
+    config.MODEL.K = 100
     config.MODEL.DLA.NODE = node
     config.MODEL.INPUT_SIZE = (64, 128)
     config.MODEL.LOAD_DIR = "skip-imagenet-download"  # getModel: pretrained
@@ -475,8 +609,16 @@ def gen_model(torch, out_dir, node="Conv", fusion="middle", tag=""):
     for k, v in outs[-1].items():
         if hasattr(v, "detach"):
             blob[f"out_{k}"] = v.detach().numpy()
-    for k, v in model.state_dict().items():
-        blob[f"sd_{k}"] = v.detach().numpy()
+    sd = model.state_dict()
+    if frustum:
+        # weights identical to the frustum=False base fixture (same seed,
+        # same architecture) — store a checksum instead of 70 MB of sd
+        blob["sd_checksum"] = np.float64(
+            sum(float(v.double().sum()) for v in sd.values())
+        )
+    else:
+        for k, v in sd.items():
+            blob[f"sd_{k}"] = v.detach().numpy()
     head_conv = {k: list(v) for k, v in dict(config.head_conv).items()}
     import json as _json
 
@@ -486,7 +628,7 @@ def gen_model(torch, out_dir, node="Conv", fusion="middle", tag=""):
     name = f"model_forward{tag}.npz"
     np.savez_compressed(os.path.join(out_dir, name), **blob)
     print(f"wrote {name} ({len(blob)} arrays, "
-          f"{len(model.state_dict())} sd keys)")
+          f"{len(sd)} sd keys)")
 
 
 def main():
@@ -514,10 +656,14 @@ def main():
     gen_schedule(torch, out_dir)
     gen_convbn(torch, out_dir)
     gen_dcn(torch, out_dir)
+    gen_frustum(torch, out_dir)
     gen_model(torch, out_dir)
     gen_model(torch, out_dir, node="GlobalConv", tag="_globalconv")
     gen_model(torch, out_dir, fusion="early", tag="_early")
     gen_model(torch, out_dir, node="DeformConv", tag="_dcn")
+    gen_model(torch, out_dir, frustum=True, tag="_frustum")
+    gen_model(torch, out_dir, node="DeformConv", frustum=True,
+              tag="_dcn_frustum")
 
 
 if __name__ == "__main__":

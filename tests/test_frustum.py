@@ -7,7 +7,9 @@ from centerfusiondetect3d_tpu.ops import frustum_association, get_pc_frustum_hea
 def _oracle_associate(pc_dep, depths, bboxes, threshs, max_pc_dist):
     """Loop-based oracle mirroring the reference cvtPcDepthToHeatmap semantics
     (pointcloud.py:397-481): crop, window filter, nearest point, 0.3-rect
-    paint with the asymmetric +1 column, sequential overwrite."""
+    paint with the asymmetric +1 column, sequential overwrite. Crop and paint
+    use RAW numpy slicing, which shares python's negative-index wraparound —
+    exactly what the reference's tensor slices do."""
     H, W, _ = pc_dep.shape
     pc_hm = np.zeros_like(pc_dep)
     for k in range(len(bboxes)):
@@ -16,7 +18,6 @@ def _oracle_associate(pc_dep, depths, bboxes, threshs, max_pc_dist):
         cx, cy = (bbox[0] + bbox[2]) / 2.0, (bbox[1] + bbox[3]) / 2.0
         x1, y1 = int(np.floor(bbox[0])), int(np.floor(bbox[1]))
         x2, y2 = int(np.ceil(bbox[2])), int(np.ceil(bbox[3]))
-        x1, y1 = max(x1, 0), max(y1, 0)  # clamped-crop variant (see frustum.py)
         roi = pc_dep[y1 : y2 + 1, x1 : x2 + 1]
         d = roi[..., 0]
         nz = d > 0
@@ -33,7 +34,6 @@ def _oracle_associate(pc_dep, depths, bboxes, threshs, max_pc_dist):
         h = bbox[3] - bbox[1]
         w_min, w_max = int(cx - 0.3 * w / 2.0), int(cx + 0.3 * w / 2.0)
         h_min, h_max = int(cy - 0.3 * h / 2.0), int(cy + 0.3 * h / 2.0)
-        h_min, w_min = max(h_min, 0), max(w_min, 0)
         pc_hm[h_min : h_max + 1, w_min : w_max + 2, 0] = dist
         pc_hm[h_min : h_max + 1, w_min : w_max + 2, 1] = vx
         pc_hm[h_min : h_max + 1, w_min : w_max + 2, 2] = vz
@@ -144,3 +144,79 @@ def test_get_pc_frustum_heatmap_end_to_end(rng):
     assert np.isfinite(np.asarray(pc_hm)).all()
     # normalized depth channel bounded by 1
     assert np.asarray(pc_hm)[..., 0].max() <= 1.0 + 1e-6
+
+
+# ---------------------------------------------------------------- torch goldens
+import os
+
+import pytest
+
+FIXTURES = os.path.join(os.path.dirname(__file__), "fixtures")
+
+
+def _fixture(name):
+    path = os.path.join(FIXTURES, name)
+    if not os.path.exists(path):
+        pytest.skip(f"golden fixture {name} not generated "
+                    "(run scripts/make_goldens.py)")
+    return np.load(path)
+
+
+def test_frustum_cases_golden_individual():
+    """Each crafted cvtPcDepthToHeatmap case (interior, negative/wrapped
+    slices, clamps, window floor, tie) vs the EXECUTED torch reference."""
+    g = _fixture("frustum_cases.npz")
+    pc_dep = np.transpose(g["pc_dep"], (1, 2, 0))  # (H, W, 3)
+    max_dist = float(g["max_dist"])
+    for i in range(len(g["bboxes"])):
+        got = np.asarray(
+            frustum_association(
+                jnp.asarray(pc_dep[None]),
+                jnp.asarray(g["depths"][None, i : i + 1]),
+                jnp.asarray(g["bboxes"][None, i : i + 1]),
+                jnp.asarray(g["threshs"][None, i : i + 1]),
+                max_dist,
+            )[0]
+        )
+        want = np.transpose(g["out_single"][i], (1, 2, 0))
+        np.testing.assert_allclose(got, want, atol=1e-6, err_msg=f"case {i}")
+
+
+def test_frustum_cases_golden_sequential_overwrite():
+    """All cases painted in order on one canvas: overwrite order must match
+    the reference's sequential loop."""
+    g = _fixture("frustum_cases.npz")
+    pc_dep = np.transpose(g["pc_dep"], (1, 2, 0))
+    got = np.asarray(
+        frustum_association(
+            jnp.asarray(pc_dep[None]),
+            jnp.asarray(g["depths"][None]),
+            jnp.asarray(g["bboxes"][None]),
+            jnp.asarray(g["threshs"][None]),
+            float(g["max_dist"]),
+        )[0]
+    )
+    want = np.transpose(g["out_sequential"], (1, 2, 0))
+    np.testing.assert_allclose(got, want, atol=1e-6)
+
+
+def test_frustum_full_golden_topk_chain():
+    """The whole getPcFrustumHeatmap chain (topk -> gather -> distance
+    thresh -> association) vs the executed torch reference."""
+    g = _fixture("frustum_full.npz")
+    k, max_dist = int(g["meta"][0]), float(g["meta"][1])
+    nhwc = lambda x: jnp.asarray(np.transpose(x, (0, 2, 3, 1)))
+    output = {
+        "heatmap": nhwc(g["heatmap"]),
+        "widthHeight": nhwc(g["widthHeight"]),
+        "depth": nhwc(g["depth"]),
+        "dimension": nhwc(g["dimension"]),
+        "rotation": nhwc(g["rotation"]),
+    }
+    got = np.asarray(
+        get_pc_frustum_heatmap(
+            output, nhwc(g["pc_dep"]), jnp.asarray(g["calib"]), k, max_dist
+        )
+    )
+    want = np.transpose(g["out_pc_hm"], (0, 2, 3, 1))
+    np.testing.assert_allclose(got, want, atol=1e-5, rtol=1e-5)

@@ -221,19 +221,31 @@ def test_dcn_matches_torchvision():
     np.testing.assert_allclose(got_p, want, rtol=0.02, atol=0.15)
 
 
-@pytest.mark.parametrize("fixture,node,fusion", [
-    ("model_forward.npz", "Conv", "middle"),
-    ("model_forward_globalconv.npz", "GlobalConv", "middle"),
-    ("model_forward_early.npz", "Conv", "early"),
-    ("model_forward_dcn.npz", "DeformConv", "middle"),
+@pytest.mark.parametrize("fixture,node,fusion,frustum,sd_fixture", [
+    ("model_forward.npz", "Conv", "middle", False, None),
+    ("model_forward_globalconv.npz", "GlobalConv", "middle", False, None),
+    ("model_forward_early.npz", "Conv", "early", False, None),
+    ("model_forward_dcn.npz", "DeformConv", "middle", False, None),
+    ("model_forward_frustum.npz", "Conv", "middle", True,
+     "model_forward.npz"),
+    ("model_forward_dcn_frustum.npz", "DeformConv", "middle", True,
+     "model_forward_dcn.npz"),
 ])
-def test_full_model_matches_reference(fixture, node, fusion):
+def test_full_model_matches_reference(fixture, node, fusion, frustum,
+                                      sd_fixture):
     """END-TO-END model parity: import the reference DLASeg's state_dict
     through the torch-checkpoint importer and reproduce every head output
     of the captured torch forward (dla.py:164-635, base_model.py:30-106,
     detectHeads.py:32-132). Validates the importer, DLA backbone, neck, BN
     statistics, and towers against the actual reference in one shot, for
-    Conv/GlobalConv nodes and middle/early fusion."""
+    Conv/GlobalConv nodes and middle/early fusion.
+
+    The ``frustum`` variants capture the full two-stage eval composition:
+    first-stage heads -> predicted top-K boxes -> frustum association over
+    pc_dep -> secondary towers -> depth2/rotation2 overrides
+    (detectHeads.py:165-190, pointcloud.py:331-481). Their weights are the
+    matching base fixture's state_dict (same torch seed; checksum-verified),
+    so only inputs/outputs are stored."""
     import json
 
     import jax
@@ -248,7 +260,7 @@ def test_full_model_matches_reference(fixture, node, fusion):
     head_conv = json.loads(bytes(g["meta_head_conv"]).decode())
     cfg = load_config(
         opts=["MODEL.INPUT_SIZE", "(64, 128)", "MODEL.DLA.NODE", node,
-              "DATASET.RADAR_PC", "True", "MODEL.FRUSTUM", "False",
+              "DATASET.RADAR_PC", "True", "MODEL.FRUSTUM", str(frustum),
               "MODEL.FUSION_STRATEGY", repr(fusion),
               # exact gather DCN: the golden uses unclamped torchvision
               # semantics (via the grid_sample formulation)
@@ -257,6 +269,7 @@ def test_full_model_matches_reference(fixture, node, fusion):
         num_classes=10,
     )
     assert {k: list(v) for k, v in cfg.head_conv.items()} == head_conv
+    sd_src = g if sd_fixture is None else _load(sd_fixture)
 
     img = _nhwc(g["in_img"])
     pc_dep = _nhwc(g["in_pc_dep"])
@@ -266,7 +279,14 @@ def test_full_model_matches_reference(fixture, node, fusion):
     variables = jax.jit(model.init, static_argnames=("train",))(
         jax.random.PRNGKey(0), img, None, pc_dep, calib, train=False
     )
-    sd = {k[3:]: g[k] for k in g.files if k.startswith("sd_")}
+    sd = {k[3:]: sd_src[k] for k in sd_src.files if k.startswith("sd_")}
+    if sd_fixture is not None:
+        # the frustum fixture stores no weights: confirm the base fixture's
+        # state_dict is the one the torch forward actually used
+        checksum = float(sum(np.sum(v, dtype=np.float64) for v in sd.values()))
+        assert abs(checksum - float(g["sd_checksum"])) < 1e-3 * max(
+            1.0, abs(checksum)
+        ), (checksum, float(g["sd_checksum"]))
     params, stats, report = import_torch_checkpoint(
         sd, variables["params"], variables["batch_stats"],
         head_conv=cfg.head_conv,

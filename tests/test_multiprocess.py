@@ -156,3 +156,131 @@ def test_two_process_data_parallel_train_step(tmp_path):
         assert line, out[-500:]
         losses.append(float(line[0].split("=")[1]))
     assert losses[0] == pytest.approx(losses[1], rel=1e-6), losses
+
+
+_VAL_WORKER = textwrap.dedent(
+    """
+    import os, sys
+    os.environ["JAX_PLATFORMS"] = "cpu"
+    os.environ["XLA_FLAGS"] = os.environ.get("XLA_FLAGS", "") + \\
+        " --xla_force_host_platform_device_count=4"
+    import jax
+    jax.config.update("jax_platforms", "cpu")
+    pid, n, port = int(sys.argv[1]), int(sys.argv[2]), sys.argv[3]
+    sys.path.insert(0, {repo!r})
+    from centerfusiondetect3d_tpu.parallel.distributed import initialize
+    initialize(f"127.0.0.1:{{port}}", num_processes=n, process_id=pid)
+    assert jax.process_count() == n
+    from centerfusiondetect3d_tpu.utils.cache import enable_compilation_cache
+    enable_compilation_cache()
+
+    import json
+    import numpy as np
+    from centerfusiondetect3d_tpu.config import load_config
+    from centerfusiondetect3d_tpu.data.targets import TargetBuilder
+    from centerfusiondetect3d_tpu.models import build_model
+    from centerfusiondetect3d_tpu.runtime.fit import Trainer
+
+    cfg = load_config(
+        opts=["MODEL.INPUT_SIZE", "(64, 128)", "MODEL.DLA.NODE", "Conv",
+              "DATASET.RADAR_PC", "False", "MIXED_PRECISION", "False",
+              "MODEL.K", "8", "TEST.BATCH_SIZE", "4", "WORKERS", "1"],
+        num_classes=10)
+    CALIB = np.array([[400., 0, 64, 0], [0, 400., 32, 0], [0, 0, 1, 0]],
+                     np.float32)
+
+    if n > 1:
+        # shard_batch fallback correctness: local rows that don't divide the
+        # local device count must assemble the TRUE global batch (process-
+        # major concat), not silently alias per-process shards as replicas
+        from centerfusiondetect3d_tpu.parallel import make_mesh, shard_batch
+        mesh = make_mesh()
+        local = np.full((3, 2), float(pid), np.float32)  # 3 %% 4 != 0
+        g = shard_batch({{"x": local}}, mesh)["x"]
+        got = np.asarray(jax.jit(lambda x: x)(g).addressable_data(0))
+        want = np.concatenate([np.full((3, 2), float(p), np.float32)
+                               for p in range(n)])
+        assert got.shape == (3 * n, 2), got.shape
+        assert np.array_equal(got, want), got
+
+    class TinyDS:
+        default_resolution = (64, 128)
+        def __init__(self, n_items, cfg):
+            self.n = n_items
+            self.tb = TargetBuilder(cfg, 10, 128, {{}})
+        def __len__(self):
+            return self.n
+        def get_item(self, i, rng=None):
+            item = self.tb.build(
+                [], {{}}, np.array([[0.25, 0, 0], [0, 0.25, 0]], np.float32),
+                1.0, calib=CALIB, pc_dep=None)
+            r = np.random.RandomState(1000 + i)
+            item["image"] = r.randn(64, 128, 3).astype(np.float32)
+            item["calib"] = CALIB
+            item["meta"] = {{"img_id": np.int64(i),
+                             "center": np.array([64., 32.], np.float32),
+                             "scale": np.float32(128.0)}}
+            return item
+
+    ds = TinyDS(6, cfg)
+    out = os.path.join(os.path.dirname(os.path.abspath(sys.argv[0])),
+                       f"val_out_{{n}}_{{pid}}")
+    trainer = Trainer(cfg, build_model(cfg), None, ds, out)
+    results = trainer.val()
+    # every process holds the FULL merged results for all 6 images
+    assert sorted(results) == list(range(6)), sorted(results)
+    digest = {{str(k): [[float(d["class"]), float(d["score"]),
+                         float(d["yaw"])] + [float(x) for x in d["location"]]
+                        for d in v]
+               for k, v in sorted(results.items())}}
+    print(f"RESULTS{{pid}}=" + json.dumps(digest))
+    """
+).format(repo=os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+
+@pytest.mark.slow
+def test_two_process_sharded_validation(tmp_path):
+    """Rank-sharded eval (reference progressBar.py:85-93,177-185): each of 2
+    processes evaluates its padded half of a 6-image split through
+    Trainer.val; the process_allgather merge gives BOTH ranks the identical
+    full results dict, matching a single-process run of the same code."""
+    script = tmp_path / "val_worker.py"
+    script.write_text(_VAL_WORKER)
+    env = dict(os.environ, JAX_PLATFORMS="cpu")
+
+    def launch(n, port):
+        return [
+            subprocess.Popen(
+                [sys.executable, str(script), str(pid), str(n), str(port)],
+                stdout=subprocess.PIPE, stderr=subprocess.STDOUT, env=env,
+            )
+            for pid in range(n)
+        ]
+
+    def collect(procs):
+        outs = []
+        for p in procs:
+            out, _ = p.communicate(timeout=560)
+            outs.append(out.decode())
+        digests = []
+        for pid, (p, out) in enumerate(zip(procs, outs)):
+            assert p.returncode == 0, f"proc{pid} failed:\n{out[-4000:]}"
+            line = [l for l in out.splitlines()
+                    if l.startswith(f"RESULTS{pid}=")]
+            assert line, out[-1000:]
+            digests.append(json.loads(line[0].split("=", 1)[1]))
+        return digests
+
+    import json
+
+    # ground truth: the same worker run single-process (unsharded val path)
+    (single,) = collect(launch(1, 9650 + os.getpid() % 100))
+    d0, d1 = collect(launch(2, 9660 + os.getpid() % 100))
+    assert d0 == d1  # both ranks hold the identical merged dict
+    assert sorted(d0) == sorted(single)
+    import numpy as np
+
+    for k in single:
+        a, b = np.asarray(single[k], np.float64), np.asarray(d0[k], np.float64)
+        assert a.shape == b.shape, (k, a.shape, b.shape)
+        assert np.allclose(a, b, atol=1e-3, rtol=1e-3), (k, a - b)
