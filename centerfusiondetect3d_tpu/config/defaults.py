@@ -61,14 +61,20 @@ def default_config() -> ConfigNode:
     # the small towers well) while ~3x-ing cold compile time of the model
     # program - keep as an opt-in for hardware where many small convs hurt.
     c.MODEL.FUSED_HEAD_TOWERS = False
-    # TPU-native bucketed top-k (jax.lax.approx_max_k, ~0.95 recall) for the
-    # per-class spatial peak stage; False = exact sort (reference semantics)
-    c.MODEL.APPROX_TOPK = False
+    # TPU-native bucketed top-k (jax.lax.approx_max_k) for the per-class
+    # spatial peak stage. Default ON: measured on the v5e it is bit-exact on
+    # the decode golden fixtures and recalls 99-100% of the true top-100
+    # peaks on serving-shape sparse heatmaps (112x200, 160 peaks/img; the
+    # ~1 missed peak per image is a within-bin near-tie), for +4-5 fps
+    # (decode's two full sorts leave the step's critical path). Set False
+    # for the exact sort (strict reference semantics).
+    c.MODEL.APPROX_TOPK = True
     c.MODEL.INPUT_SIZE = (448, 800)
     c.MODEL.DLA = ConfigNode()
     c.MODEL.DLA.NODE = "DeformConv"  # DeformConv | GlobalConv | Conv
     # deformable-sampling implementation: auto (shift on TPU, xla elsewhere)
     # | shift (static shifted-window XLA, offsets clamped to ±DCN_MAX_OFFSET)
+    # | shift_hybrid (shift + exact sparse correction of clamped pixels)
     # | xla (flattened-row gathers, exact, any backend) | pallas (Mosaic
     # kernel - single-kernel programs only on this image, kept for probes).
     c.MODEL.DLA.DCN_IMPL = "auto"
@@ -78,6 +84,12 @@ def default_config() -> ConfigNode:
     # exact torchvision semantics, e.g. when importing reference checkpoints
     # whose trained offsets exceed +-1.
     c.MODEL.DLA.DCN_MAX_OFFSET = 1.0
+    # shift_hybrid: fraction of output pixels (those with the largest
+    # offsets) recomputed EXACTLY via sparse gathers and patched over the
+    # shift result - makes the fast path safe when trained offsets
+    # occasionally exceed DCN_MAX_OFFSET (residual error only if more than
+    # this fraction of pixels overflow).
+    c.MODEL.DLA.DCN_CORRECT_FRAC = 0.03
 
     c.LOSS_WEIGHTS = ConfigNode()
     c.LOSS_WEIGHTS.HEATMAP = 1.0

@@ -45,6 +45,7 @@ class CenterFusionDLA(nn.Module):
     remat: bool = False  # rematerialize the backbone (memory for FLOPs)
     dcn_impl: str = "auto"  # shift | xla | pallas | auto (shift on TPU)
     dcn_max_offset: float = 1.0  # shift-impl offset clamp (output px)
+    dcn_correct_frac: float = 0.03  # shift_hybrid: exact-corrected pixel frac
     fused_heads: bool = False  # opt-in: head towers through one wide conv
     approx_topk: bool = False  # TPU bucketed top-k in the frustum stage
     dtype: Any = jnp.float32
@@ -59,6 +60,7 @@ class CenterFusionDLA(nn.Module):
             cfg_node = functools.partial(
                 DeformConvNode, dcn_impl=self.dcn_impl,
                 dcn_max_offset=self.dcn_max_offset,
+                dcn_correct_frac=self.dcn_correct_frac,
             )
             node_type = (cfg_node, cfg_node)
         channels = DLA34_CHANNELS  # resnet backbones share the channel ladder
@@ -212,6 +214,7 @@ def build_model(config, dtype=None) -> CenterFusionDLA:
         remat=bool(config.TPU.get("REMAT", False)),
         dcn_impl=str(config.MODEL.DLA.get("DCN_IMPL", "auto")),
         dcn_max_offset=float(config.MODEL.DLA.get("DCN_MAX_OFFSET", 1.0)),
+        dcn_correct_frac=float(config.MODEL.DLA.get("DCN_CORRECT_FRAC", 0.03)),
         fused_heads=bool(config.MODEL.get("FUSED_HEAD_TOWERS", False)),
         approx_topk=bool(config.MODEL.get("APPROX_TOPK", False)),
         dtype=dtype,

@@ -178,6 +178,7 @@ class DeformConvNode(nn.Module):
     activation: bool = True
     dcn_impl: str = "auto"
     dcn_max_offset: float = 1.0
+    dcn_correct_frac: float = 0.03
     dtype: Any = jnp.float32
 
     @nn.compact
@@ -218,6 +219,15 @@ class DeformConvNode(nn.Module):
                 x.astype(self.dtype), offset, mask,
                 weight.astype(self.dtype), bias.astype(self.dtype),
                 max_offset=self.dcn_max_offset,
+            )
+        elif impl == "shift_hybrid":
+            from ..ops.dcn import deform_conv2d_shift_hybrid
+
+            x = deform_conv2d_shift_hybrid(
+                x.astype(self.dtype), offset, mask,
+                weight.astype(self.dtype), bias.astype(self.dtype),
+                max_offset=self.dcn_max_offset,
+                correct_frac=self.dcn_correct_frac,
             )
         elif impl == "pallas":
             from ..ops.pallas_dcn import deform_conv2d_fast

@@ -94,6 +94,95 @@ def deform_conv2d(x, offset, mask, weight, bias=None):
     return out.reshape(b, h, w, o).astype(x.dtype)
 
 
+def _exact_rows(x, offset, mask, weight, bias, idx):
+    """Exact DCNv2 output for ``m`` selected output pixels.
+
+    ``idx``: (m,) flat indices into (B*H*W). Returns (m, O). Same bilinear
+    zero-padding semantics as ``deform_conv2d`` but gathers only the selected
+    rows — 36 gathers of (m, C) instead of (B*H*W, C).
+    """
+    b, h, w, c = x.shape
+    kh, kw, _, o = weight.shape
+    hp, wp = h + 2, w + 2
+    xp = jnp.pad(x, ((0, 0), (1, 1), (1, 1), (0, 0)))
+    flat = xp.reshape(b * hp * wp, c)
+
+    bi = idx // (h * w)
+    yi = (idx % (h * w)) // w
+    xi = idx % w
+    off_m = offset.reshape(b * h * w, 18)[idx]  # (m, 18)
+    msk_m = mask.reshape(b * h * w, 9)[idx].astype(x.dtype)  # (m, 9)
+    base_off = bi * (hp * wp)
+
+    out = bias[None, :].astype(jnp.float32) if bias is not None else 0.0
+    for k in range(kh * kw):
+        i, j = divmod(k, kw)
+        py = yi.astype(jnp.float32) + (i - 1) + off_m[:, 2 * k] + 1.0
+        px = xi.astype(jnp.float32) + (j - 1) + off_m[:, 2 * k + 1] + 1.0
+        y0, x0 = jnp.floor(py), jnp.floor(px)
+        wy1 = (py - y0)[:, None].astype(x.dtype)
+        wx1 = (px - x0)[:, None].astype(x.dtype)
+        acc = None
+        for dy in (0.0, 1.0):
+            for dx in (0.0, 1.0):
+                yy, xx = y0 + dy, x0 + dx
+                valid = (yy >= 0) & (yy < hp) & (xx >= 0) & (xx < wp)
+                rows = (
+                    base_off
+                    + jnp.clip(yy, 0, hp - 1).astype(jnp.int32) * wp
+                    + jnp.clip(xx, 0, wp - 1).astype(jnp.int32)
+                )
+                vals = jnp.take(flat, rows, axis=0)  # (m, C)
+                wgt = (wy1 if dy else 1 - wy1) * (wx1 if dx else 1 - wx1)
+                wgt = jnp.where(valid[:, None], wgt, 0)
+                term = vals * wgt
+                acc = term if acc is None else acc + term
+        tap = acc * msk_m[:, k : k + 1]
+        out = out + jax.lax.dot_general(
+            tap, weight[i, j].astype(x.dtype),
+            dimension_numbers=(((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )
+    return out
+
+
+def deform_conv2d_shift_hybrid(x, offset, mask, weight, bias=None, *,
+                               max_offset: float = 1.0,
+                               correct_frac: float = 0.03,
+                               approx: bool = True):
+    """Shift-window DCN with exact sparse correction of clamped pixels.
+
+    The shift fast path is exact whenever every offset is within
+    ``±max_offset``; its only error is at clamped pixels. This hybrid keeps
+    the gather-free bulk path and re-computes the top ``correct_frac`` of
+    output pixels by largest |offset| with the exact 36-gather formulation,
+    scattering them back — so a trained model whose offsets occasionally
+    exceed R pays ~nothing instead of a silent accuracy loss. Residual error
+    only remains if MORE than ``correct_frac`` of pixels overflow R (then
+    raise DCN_MAX_OFFSET / DCN_CORRECT_FRAC; the checkpoint loader logs
+    trained offset-weight magnitudes).
+
+    ``approx`` selects ``jax.lax.approx_max_k`` for the candidate selection
+    (faster on TPU; recall ~0.95 — missed pixels stay at shift accuracy).
+    """
+    base = deform_conv2d_shift(x, offset, mask, weight, bias,
+                               max_offset=max_offset)
+    b, h, w, c = x.shape
+    o = weight.shape[-1]
+    n = b * h * w
+    m = max(1, min(n, int(round(n * float(correct_frac)))))
+    overflow = jnp.max(jnp.abs(offset.reshape(n, 18)), axis=-1)
+    if approx:
+        vals, idx = jax.lax.approx_max_k(overflow, m)
+    else:
+        vals, idx = jax.lax.top_k(overflow, m)
+    corrected = _exact_rows(x, offset, mask, weight, bias, idx)  # (m, O)
+    flat_out = base.reshape(n, o)
+    need = (vals > float(max_offset))[:, None]
+    patch = jnp.where(need, corrected.astype(flat_out.dtype), flat_out[idx])
+    return flat_out.at[idx].set(patch).reshape(b, h, w, o)
+
+
 def _hat(v):
     """Bilinear tent: nonzero exactly for the two integers straddling v."""
     return jnp.maximum(0.0, 1.0 - jnp.abs(v))

@@ -11,6 +11,8 @@ once.
 
 from __future__ import annotations
 
+import time as _time
+
 from typing import Any, Dict, List
 
 import numpy as np
@@ -134,6 +136,9 @@ class Detector:
     STAGES = ("load", "preprocess", "net", "merge", "total")
 
     def __init__(self, config: ConfigNode, variables=None, batch_size: int = 1):
+        import collections
+        import threading
+
         self.config = config
         self.model = build_model(config)
         self.batch_size = batch_size
@@ -142,6 +147,31 @@ class Detector:
         self.std = NuScenesDataset.std
         self.variables = variables or self._init_variables()
         self._infer = jax.jit(self._forward)
+        # thread-safe per-stage accumulators for the streaming pipeline
+        # (worker threads time their own decode/warp/rasterize work; the
+        # reference's per-stage AverageMeter surface, detector.py:44-155)
+        self._stage_sec = collections.defaultdict(float)
+        self._stage_n = collections.defaultdict(int)
+        self._stage_lock = threading.Lock()
+
+    def _acc_stage(self, name: str, dt: float, n: int = 1):
+        with self._stage_lock:
+            self._stage_sec[name] += dt
+            self._stage_n[name] += n
+
+    def stage_stats(self, reset: bool = False) -> Dict[str, float]:
+        """Accumulated host-pipeline stage cost, ms per CALL (decode/warp
+        are per-image; fetch_merge per-batch). Sums across worker threads,
+        so on multi-core hosts totals can exceed wall time."""
+        with self._stage_lock:
+            out = {
+                k: 1e3 * self._stage_sec[k] / max(1, self._stage_n[k])
+                for k in self._stage_sec
+            }
+            if reset:
+                self._stage_sec.clear()
+                self._stage_n.clear()
+        return out
 
     def _init_variables(self):
         cfg = self.config
@@ -174,6 +204,7 @@ class Detector:
         full-resolution decode (`detector.py` reads full frames).
         ``return_scales`` additionally returns the per-image decode scale.
         """
+        t0 = _time.perf_counter()
         if isinstance(images, (str, np.ndarray)):
             images = [images]
         in_h, in_w = self.config.MODEL.INPUT_SIZE
@@ -199,6 +230,7 @@ class Detector:
             else:
                 out.append(np.asarray(im))
                 scales.append(1.0)
+        self._acc_stage("decode", _time.perf_counter() - t0, len(out))
         return (out, scales) if return_scales else out
 
     def pre_process(self, images: List[np.ndarray], img_infos=None,
@@ -231,7 +263,9 @@ class Detector:
             # reduced frame map through p_orig = ds * p_reduced
             trans_warp = trans_in.copy()
             trans_warp[:, :2] *= ds
+            tw = _time.perf_counter()
             warped = _warp_or_crop(img, trans_warp, in_h, in_w)
+            self._acc_stage("warp", _time.perf_counter() - tw)
             batch_imgs.append(warped)
             calib = np.array(
                 info.get(
@@ -255,9 +289,11 @@ class Detector:
                 info_full.setdefault(
                     "camera_intrinsic", calib[:3, :3].tolist()
                 )
+                tr = _time.perf_counter()
                 _, _, pc_dep, _ = prepare_radar_points(
                     radar, info_full, cfg, trans_out, False, w, h
                 )
+                self._acc_stage("rasterize", _time.perf_counter() - tr)
                 batch_pc.append(pc_dep)
 
         batch = {
@@ -352,10 +388,15 @@ class Detector:
         )
 
     def merge_outputs(self, processed) -> Dict[int, List[dict]]:
-        npx = _fetch_packed(processed)
-        return detections_to_results(
+        t0 = _time.perf_counter()
+        npx = _fetch_packed(processed)  # blocks on the device program
+        t1 = _time.perf_counter()
+        out = detections_to_results(
             npx, list(range(len(npx["scores"]))), conf_thresh=-1.0
         )
+        self._acc_stage("fetch", t1 - t0)
+        self._acc_stage("merge", _time.perf_counter() - t1)
+        return out
 
     # ------------------------------------------------------- multi-scale TTA
     def _scaled_detector(self, scale: float) -> "Detector":

@@ -346,6 +346,31 @@ def import_torch_checkpoint(state_dict: Dict[str, np.ndarray], params,
     new_stats = fill(batch_stats, "batch_stats")
     if strict and (report["missing"] or report["shape_mismatch"]):
         raise KeyError(f"strict import failed: {report}")
+
+    # DCN offset visibility (reference offsets are unclamped, dla.py:461-472;
+    # our TPU shift path clamps to ±DCN_MAX_OFFSET): surface each node's
+    # trained offset-projection weight RMS so a checkpoint whose offsets
+    # plausibly exceed the clamp is loud, not silent. Offset rows are the
+    # first 18 of the 27 conv_offset_mask output channels (OIHW axis 0).
+    off_rms = {}
+    for k, v in sd.items():
+        if k.endswith("conv_offset_mask.weight") and np.ndim(v) == 4:
+            off_rms[k[: -len(".weight")]] = float(
+                np.sqrt(np.mean(np.square(v[:18].astype(np.float64))))
+            )
+    if off_rms:
+        report["dcn_offset_weight_rms"] = off_rms
+        peak = max(off_rms.values())
+        if peak > 0:
+            import logging
+
+            logging.getLogger("cfd3d.checkpoint").info(
+                "DCN offset conv weight RMS: max %.4g over %d nodes — if "
+                "trained offsets exceed MODEL.DLA.DCN_MAX_OFFSET, prefer "
+                "DCN_IMPL=shift_hybrid (sparse exact correction) or xla "
+                "(exact) on TPU",
+                peak, len(off_rms),
+            )
     return new_params, new_stats, report
 
 

@@ -5,6 +5,12 @@ The reference logs losses/visualizations/alerts to wandb
 wandb, so runs log append-only JSONL events (scalars per epoch/step, eval
 summaries, alerts) that any dashboard can tail, plus an on-disk latest-state
 snapshot. Interface kept minimal and dependency-free.
+
+When the ``wandb`` package IS importable and ``WANDB_PROJECT`` (or
+``WANDB_API_KEY``) is set, every event is additionally mirrored to a wandb
+run — resumed by the persisted ``run_id`` exactly like the reference's
+``initWandb`` id persistence (logger.py:421-460). Absent either, the mirror
+is a silent no-op, so the adapter costs nothing in this image.
 """
 
 from __future__ import annotations
@@ -27,6 +33,24 @@ class MetricsLogger:
         else:
             self.run_id = run_id or time.strftime("%Y%m%d-%H%M%S")
         self._write_state({"run_id": self.run_id, "started": time.time()})
+        self._wandb = self._init_wandb()
+
+    def _init_wandb(self):
+        """Optional wandb mirror (reference logger.py:421-460): requires the
+        package AND explicit env opt-in; resumes by persisted run_id."""
+        if not (os.environ.get("WANDB_PROJECT") or os.environ.get("WANDB_API_KEY")):
+            return None
+        try:
+            import wandb
+        except ImportError:
+            return None
+        try:
+            return wandb.init(
+                project=os.environ.get("WANDB_PROJECT", "centerfusiondetect3d"),
+                id=self.run_id, resume="allow",
+            )
+        except Exception:
+            return None
 
     def _write_state(self, extra: Dict[str, Any]):
         state = {}
@@ -49,6 +73,15 @@ class MetricsLogger:
         event.update(payload)
         with open(self.path, "a") as f:
             f.write(json.dumps(_jsonable(event)) + "\n")
+        if self._wandb is not None:
+            try:
+                self._wandb.log(
+                    {k: v for k, v in _jsonable(payload).items()
+                     if isinstance(v, (int, float))},
+                    step=step,
+                )
+            except Exception:
+                pass  # mirror is best-effort (safe_run analogue)
 
     def scalars(self, scalars: Dict[str, float], step: Optional[int] = None,
                 prefix: str = ""):
@@ -59,6 +92,11 @@ class MetricsLogger:
 
     def summary(self, summary: Dict[str, Any]):
         self._write_state({"summary": _jsonable(summary)})
+        if self._wandb is not None:
+            try:
+                self._wandb.summary.update(_jsonable(summary))
+            except Exception:
+                pass
 
 
 def _jsonable(x):

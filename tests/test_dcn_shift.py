@@ -129,3 +129,59 @@ def test_node_shift_impl_matches_xla(rng):
         out[impl] = np.asarray(node.apply(v, x, train=False))
     # zero-init offsets: both impls are exactly in range -> identical
     np.testing.assert_allclose(out["xla"], out["shift"], rtol=1e-5, atol=1e-5)
+
+
+def test_shift_hybrid_corrects_clamped_pixels():
+    """shift_hybrid == exact DCN wherever the top-M correction covers the
+    overflowing pixels; with enough budget it matches the exact op even when
+    most offsets exceed R (offsets sigma=2, R=1)."""
+    import numpy as np
+    import jax
+    import jax.numpy as jnp
+
+    from centerfusiondetect3d_tpu.ops.dcn import (
+        deform_conv2d,
+        deform_conv2d_shift,
+        deform_conv2d_shift_hybrid,
+    )
+
+    rs = np.random.RandomState(3)
+    B, H, W, C, O = 1, 12, 16, 8, 8
+    x = jnp.asarray(rs.randn(B, H, W, C).astype(np.float32))
+    mask = jnp.asarray((1 / (1 + np.exp(-rs.randn(B, H, W, 9)))).astype(np.float32))
+    wt = jnp.asarray((rs.randn(3, 3, C, O) * 0.2).astype(np.float32))
+    bias = jnp.asarray(rs.randn(O).astype(np.float32))
+    # a handful of large-offset pixels on an otherwise small-offset field
+    off = (rs.randn(B, H, W, 18) * 0.2).astype(np.float32)
+    hot = [(2, 3), (7, 11), (9, 4)]
+    for (yy, xx) in hot:
+        off[0, yy, xx] = rs.randn(18) * 3.0
+    off = jnp.asarray(off)
+
+    exact = np.asarray(deform_conv2d(x, off, mask, wt, bias))
+    plain = np.asarray(
+        deform_conv2d_shift(x, off, mask, wt, bias, max_offset=1.0)
+    )
+    hybrid = np.asarray(
+        deform_conv2d_shift_hybrid(
+            x, off, mask, wt, bias, max_offset=1.0, correct_frac=0.05,
+            approx=False,
+        )
+    )
+    # plain shift is wrong at the hot pixels; hybrid matches exact everywhere
+    assert np.abs(plain - exact).max() > 1e-3
+    np.testing.assert_allclose(hybrid, exact, rtol=1e-4, atol=1e-4)
+
+    # gradients flow through the corrected path
+    def loss(o):
+        return jnp.sum(
+            deform_conv2d_shift_hybrid(
+                x, o, mask, wt, bias, max_offset=1.0, correct_frac=0.05,
+                approx=False,
+            ) ** 2
+        )
+
+    g = np.asarray(jax.grad(loss)(off))
+    assert np.isfinite(g).all()
+    # nonzero offset gradient at a corrected (overflowing) pixel
+    assert np.abs(g[0, hot[0][0], hot[0][1]]).max() > 0

@@ -44,17 +44,23 @@ def _layers_from(blob, n):
     return layers
 
 
-@pytest.mark.parametrize("name,nlayers", [
-    ("decode_single_layer.npz", 1),
-    ("decode_two_layer.npz", 2),
+@pytest.mark.parametrize("name,nlayers,approx", [
+    ("decode_single_layer.npz", 1, False),
+    ("decode_two_layer.npz", 2, False),
+    # decode equivalence of the approx_max_k top-k stage on the SAME torch
+    # goldens: with well-separated peaks (the practical regime after 3x3
+    # NMS) the approximate reduction must reproduce the exact decode output
+    # bit-for-bit — the accuracy precondition for APPROX_TOPK serving
+    ("decode_single_layer.npz", 1, True),
+    ("decode_two_layer.npz", 2, True),
 ])
-def test_fusion_decode_matches_reference(name, nlayers):
+def test_fusion_decode_matches_reference(name, nlayers, approx):
     from centerfusiondetect3d_tpu.ops import fusion_decode
 
     blob = _load(name)
     h, w, k = blob["meta_hwk"]
     ret = fusion_decode(_layers_from(blob, nlayers), (int(h), int(w)),
-                        k=int(k), norm2d=False)
+                        k=int(k), norm2d=False, approx_topk=approx)
     for key in blob.files:
         if not key.startswith("out_"):
             continue
