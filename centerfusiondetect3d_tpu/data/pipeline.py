@@ -73,11 +73,6 @@ class Loader:
             n = -(-n // self.shard[1])
         return n // self.batch_size if self.drop_last else -(-n // self.batch_size)
 
-    @property
-    def n_padded(self) -> int:
-        """Items yielded per epoch including pad duplicates."""
-        return len(self._indices())
-
     def _indices(self) -> np.ndarray:
         idx = np.arange(len(self.dataset))
         if self.shuffle:
