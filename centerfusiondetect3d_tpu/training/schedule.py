@@ -95,3 +95,53 @@ def learning_rate(config, epoch: int, start_epoch: int = 0) -> float:
         return start_lr * (0.1 ** n)
 
     raise ValueError(f"unknown LR scheduler {sched!r}")
+
+
+def schedule_trace(config, epochs=None, start_epoch: int = 0):
+    """Per-epoch LR values for the configured schedule (list of floats)."""
+    n = int(epochs if epochs is not None else config.TRAIN.EPOCHS)
+    return [learning_rate(config, e, start_epoch) for e in range(start_epoch, n)]
+
+
+def main(argv=None):
+    """LR-schedule inspector: the reference's ``learningRateTest`` /
+    ``debugLearningRate`` standalone (modelWithLoss.py:364-432,
+    trainer.py:73-89) — print the per-epoch LR trace and optionally plot it.
+
+        python -m centerfusiondetect3d_tpu.training.schedule \
+            --cfg configs/Centerfusion_Middle.yaml [--plot lr.png] [KEY VAL ...]
+    """
+    import argparse
+
+    from ..config import load_config
+
+    ap = argparse.ArgumentParser(description=main.__doc__)
+    ap.add_argument("--cfg", default=None)
+    ap.add_argument("--plot", default=None, help="write a PNG of the trace")
+    ap.add_argument("--start-epoch", type=int, default=0)
+    ap.add_argument("opts", nargs="*", default=[])
+    args = ap.parse_args(argv)
+    cfg = load_config(args.cfg, opts=args.opts, num_classes=10)
+    trace = schedule_trace(cfg, start_epoch=args.start_epoch)
+    for e, lr in enumerate(trace, start=args.start_epoch):
+        print(f"epoch {e:4d}  lr {lr:.3e}")
+    if args.plot:
+        import matplotlib
+
+        matplotlib.use("Agg")
+        import matplotlib.pyplot as plt
+
+        fig, ax = plt.subplots(figsize=(8, 3))
+        ax.plot(range(args.start_epoch, args.start_epoch + len(trace)), trace)
+        ax.set_xlabel("epoch")
+        ax.set_ylabel("lr")
+        ax.set_yscale("log")
+        ax.set_title(f"{cfg.TRAIN.LR_SCHEDULER} schedule")
+        fig.tight_layout()
+        fig.savefig(args.plot, dpi=120)
+        print(f"wrote {args.plot}")
+    return trace
+
+
+if __name__ == "__main__":  # pragma: no cover
+    main()

@@ -236,3 +236,24 @@ def test_dp_tp_2d_mesh_train_step(tiny_setup, devices8):
     step = jax.jit(make_train_step(model, loss_fn))
     new_state, metrics = step(state, batch4, 1e-4)
     assert np.isfinite(float(metrics["total"]))
+
+
+def test_schedule_cli_trace_and_plot(tmp_path, capsys):
+    """The LR-inspector standalone (reference learningRateTest,
+    modelWithLoss.py:364-432): trace printed, PNG written, values match
+    learning_rate()."""
+    from centerfusiondetect3d_tpu.config import load_config
+    from centerfusiondetect3d_tpu.training.schedule import (
+        learning_rate,
+        main as sched_main,
+    )
+
+    png = tmp_path / "lr.png"
+    trace = sched_main(["--plot", str(png), "TRAIN.EPOCHS", "12",
+                        "TRAIN.LR_STEP", "(6, 9)", "MODEL.DEFREEZE", "-1"])
+    assert png.exists() and png.stat().st_size > 0
+    cfg = load_config(opts=["TRAIN.EPOCHS", "12", "TRAIN.LR_STEP", "(6, 9)",
+                            "MODEL.DEFREEZE", "-1"], num_classes=10)
+    assert trace == [learning_rate(cfg, e) for e in range(12)]
+    out = capsys.readouterr().out
+    assert "epoch" in out and "lr" in out
