@@ -222,7 +222,9 @@ def main():
     @jax.jit
     def infer(variables, image, pc_dep, calib):
         outputs = model.apply(variables, image, None, pc_dep, calib, train=False)
-        return fusion_decode(outputs, cfg.MODEL.OUTPUT_SIZE, k=cfg.MODEL.K)
+        return fusion_decode(outputs, cfg.MODEL.OUTPUT_SIZE, k=cfg.MODEL.K,
+                             approx_topk=bool(cfg.MODEL.get("APPROX_TOPK",
+                                                            False)))
 
     # warmup / compile. NOTE: fetch a real output every iteration - on the
     # axon backend block_until_ready alone returns before execution finishes,

@@ -237,6 +237,146 @@ def deform_conv2d_pallas(x, offset, mask, weight, bias=None, *,
     return out
 
 
+def _dcn_static_kernel(off_ref, mask_ref, x_ref, w_ref, out_ref, out_acc,
+                       tap_acc, *, br, w, c, o, pad, r):
+    """One (batch, row-block) program — FULLY STATIC shift window.
+
+    The round-3 toolchain compiles chained Mosaic kernels, which unblocks
+    using Pallas for all 16 DLA DCN nodes; this kernel drops the round-2
+    design's dynamic ``fori_loop`` + ``pl.when`` predication (which defeated
+    vectorization) for the same static shifted-window sum the XLA fast path
+    uses (ops/dcn.py:deform_conv2d_shift): offsets clamp to ±r, so per tap
+    the bilinear straddle range is the static box ``[-ceil(r)..floor(r)+1]``
+    and every term is a statically-shifted VMEM slice in a plain unrolled
+    FMA — Mosaic vectorizes it like any elementwise op. The whole padded
+    image block stays VMEM-resident, so each term costs VMEM reads, not HBM
+    (the XLA formulation re-reads HBM per term — measured 5.18 ms at the
+    stride-4 DLA node vs ~sub-ms VMEM speed-of-light).
+
+    The x block is an overlapping *element window* (``pl.BlockSpec`` dims of
+    type ``Element``, lowered to ``#tpu.element_window``): each (batch,
+    row-block) program receives rows ``[rb*br, rb*br + br + 2*pad)`` of the
+    padded image, so every shifted read inside the kernel is a STATIC slice.
+    With the earlier whole-image block + ``pl.ds(row0 + gy + pad, br)``
+    dynamic-start rows, Mosaic materialized each of the 144 windows into its
+    own stack buffer (measured 59.2 MiB scoped-vmem demand at br=8 on the
+    (112,200,64) DLA node, and 2x the XLA shift path's runtime once the
+    budget was raised); static slices are views.
+
+    Refs: off (1,BR,W,18) f32; mask (1,BR,W,9) f32;
+    x (1,BR+2*pad,W+2*pad,C) bf16 element window; w (9,C,O) bf16;
+    out (1,BR,W,O); out_acc (BR*W, O) f32 scratch;
+    tap_acc (BR, W, C) f32 scratch.
+    """
+    import math as _math
+
+    r_lo, r_hi = _math.ceil(r), _math.floor(r) + 1
+
+    out_acc[:] = jnp.zeros_like(out_acc)
+    for k in range(9):
+        i, j = divmod(k, 3)
+        ty = jnp.clip(off_ref[0, :, :, 2 * k:2 * k + 1], -r, r) + (i - 1)
+        tx = jnp.clip(off_ref[0, :, :, 2 * k + 1:2 * k + 2], -r, r) + (j - 1)
+        first = True
+        for gy in range(i - 1 - r_lo, i - 1 + r_hi + 1):
+            wy = _hat(float(gy) - ty)  # (BR, W, 1) f32
+            for gx in range(j - 1 - r_lo, j - 1 + r_hi + 1):
+                wx = _hat(float(gx) - tx)
+                win = x_ref[0, gy + pad:gy + pad + br,
+                            gx + pad:gx + pad + w, :]
+                term = (wy * wx) * win.astype(jnp.float32)
+                if first:
+                    tap_acc[:] = term
+                    first = False
+                else:
+                    tap_acc[:] += term
+        tap = tap_acc[:] * mask_ref[0, :, :, k:k + 1]
+        out_acc[:] += jax.lax.dot_general(
+            tap.reshape(br * w, c).astype(jnp.bfloat16),
+            w_ref[k],
+            dimension_numbers=(((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )
+    out_ref[0] = out_acc[:].reshape(br, w, o).astype(out_ref.dtype)
+
+
+def deform_conv2d_pallas_static(x, offset, mask, weight, bias=None, *,
+                                max_offset: float = 1.0, block_rows: int = 16,
+                                vmem_limit_mb: int = 100,
+                                interpret: bool = False):
+    """Static shifted-window Pallas DCNv2 (see ``_dcn_static_kernel``).
+
+    Same contract and clamping semantics as ``ops.dcn.deform_conv2d_shift``
+    (torchvision layouts; offsets clamped to ±``max_offset``). Cost scales
+    with ``(2 + ceil(r) + floor(r))^2`` terms per tap — keep r small (r=1:
+    16 terms/tap; r=2: 25).
+
+    ``vmem_limit_mb`` raises Mosaic's scoped-VMEM budget above the 16 MiB
+    default: the unrolled straight-line kernel gets NO stack-slot reuse from
+    Mosaic (each of the 144 (BR,W,C) f32 terms is assigned its own spill
+    slot — measured 118.7 MiB demand at br=16 on the (112,200,64) DLA node),
+    so the budget must cover ``9*(2+ceil(r)+floor(r))^2 * BR*W*C*4`` bytes.
+    The v5e has 128 MiB of physical VMEM per core; shrink ``block_rows`` if
+    the kernel still does not fit.
+    """
+    b, h, w, c = x.shape
+    kh, kw, _, o = weight.shape
+    assert (kh, kw) == (3, 3), "DLA nodes only use 3x3 DCN"
+    r = float(max_offset)
+    pad = math.ceil(r) + 2
+
+    br = h if h <= 2 * block_rows else block_rows
+    nrb = -(-h // br)
+    hb = nrb * br
+
+    xp = jnp.pad(
+        x.astype(jnp.bfloat16),
+        ((0, 0), (pad, pad + (hb - h)), (pad, pad), (0, 0)),
+    )
+    hp, wp = hb + 2 * pad, w + 2 * pad
+    off_p = jnp.pad(offset.astype(jnp.float32),
+                    ((0, 0), (0, hb - h), (0, 0), (0, 0)))
+    mask_p = jnp.pad(mask.astype(jnp.float32),
+                     ((0, 0), (0, hb - h), (0, 0), (0, 0)))
+    w_taps = weight.reshape(9, c, o).astype(jnp.bfloat16)
+
+    kernel = functools.partial(
+        _dcn_static_kernel, br=br, w=w, c=c, o=o, pad=pad, r=r
+    )
+    # overlapping halo window on x: Element block dims take ELEMENT offsets
+    # from the index_map (no public alias for Element as of jax 0.9)
+    from jax._src.pallas.core import Element as _Element
+
+    out = pl.pallas_call(
+        kernel,
+        grid=(b, nrb),
+        in_specs=[
+            pl.BlockSpec((1, br, w, 18), lambda bi, ri: (bi, ri, 0, 0)),
+            pl.BlockSpec((1, br, w, 9), lambda bi, ri: (bi, ri, 0, 0)),
+            pl.BlockSpec(
+                (_Element(1), _Element(br + 2 * pad), _Element(wp),
+                 _Element(c)),
+                lambda bi, ri: (bi, ri * br, 0, 0),
+            ),
+            pl.BlockSpec((9, c, o), lambda bi, ri: (0, 0, 0)),
+        ],
+        out_specs=pl.BlockSpec((1, br, w, o), lambda bi, ri: (bi, ri, 0, 0)),
+        out_shape=jax.ShapeDtypeStruct((b, hb, w, o), x.dtype),
+        scratch_shapes=[
+            pltpu.VMEM((br * w, o), jnp.float32),
+            pltpu.VMEM((br, w, c), jnp.float32),
+        ],
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=int(vmem_limit_mb) * 1024 * 1024,
+        ),
+        interpret=interpret,
+    )(off_p, mask_p, xp, w_taps)
+    out = out[:, :h]
+    if bias is not None:
+        out = out + bias.astype(out.dtype)
+    return out
+
+
 @functools.partial(jax.custom_vjp, nondiff_argnums=(5, 6))
 def deform_conv2d_fast(x, offset, mask, weight, bias,
                        max_offset: float = 8.0, interpret: bool = False):

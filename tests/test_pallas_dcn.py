@@ -12,7 +12,9 @@ from centerfusiondetect3d_tpu.ops.dcn import deform_conv2d
 from centerfusiondetect3d_tpu.ops.pallas_dcn import (
     deform_conv2d_fast,
     deform_conv2d_pallas,
+    deform_conv2d_pallas_static,
 )
+from centerfusiondetect3d_tpu.ops.dcn import deform_conv2d_shift
 
 
 def _inputs(rng, b=2, h=10, w=12, c=8, o=16, off_scale=2.0):
@@ -70,6 +72,36 @@ def test_pallas_dcn_zero_offsets_is_plain_conv(rng):
         deform_conv2d_pallas(x, offset, mask, weight, bias, interpret=True)
     )
     np.testing.assert_allclose(got, ref, atol=0.1, rtol=0.02)
+
+
+def test_pallas_static_matches_shift(rng):
+    # the static element-window kernel shares clamping semantics with
+    # deform_conv2d_shift — same ±R window, bf16 data path
+    x, offset, mask, weight, bias = _inputs(rng, off_scale=2.0)
+    ref = np.asarray(
+        deform_conv2d_shift(x, offset, mask, weight, bias, max_offset=1.0)
+    )
+    got = np.asarray(
+        deform_conv2d_pallas_static(
+            x, offset, mask, weight, bias, max_offset=1.0, interpret=True
+        )
+    )
+    np.testing.assert_allclose(got, ref, atol=0.15, rtol=0.02)
+
+
+def test_pallas_static_remainder_row_blocks(rng):
+    x, offset, mask, weight, bias = _inputs(rng, b=1, h=37, w=9, c=8, o=8,
+                                            off_scale=0.7)
+    ref = np.asarray(
+        deform_conv2d_shift(x, offset, mask, weight, bias, max_offset=1.0)
+    )
+    got = np.asarray(
+        deform_conv2d_pallas_static(
+            x, offset, mask, weight, bias, max_offset=1.0, block_rows=8,
+            interpret=True,
+        )
+    )
+    np.testing.assert_allclose(got, ref, atol=0.15, rtol=0.02)
 
 
 def test_deform_conv2d_fast_gradients_match_xla(rng):
