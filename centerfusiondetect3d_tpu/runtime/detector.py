@@ -355,9 +355,11 @@ class Detector:
         nimg = image.shape[0]
         max_db = int(self.config.TEST.get("MAX_DEVICE_BATCH", 6))
         if max_db > 0 and nimg > max_db:
-            # bs>MAX_DEVICE_BATCH falls off an XLA fusion cliff (measured:
-            # bs12 = 39.7 fps vs bs6 = 111.9 on v5e, +2.7 GiB temp memory) —
-            # run sequential sub-batch programs and concatenate on device
+            # bs>MAX_DEVICE_BATCH falls off an XLA fusion cliff (measured
+            # on v5e: bs12 = 39.7 fps vs bs6 = 111.9 with the reshaping DCN
+            # dot, +2.7 GiB temp memory; still bs12 = 87.6 vs bs6 = 131.5
+            # after the channel-axis dot removed most of the relayout churn)
+            # — run sequential sub-batch programs and concatenate on device
             if not getattr(self, "_warned_split", False):
                 self._warned_split = True
                 import logging
@@ -365,7 +367,7 @@ class Detector:
                 logging.getLogger("cfd3d.detector").warning(
                     "batch %d > TEST.MAX_DEVICE_BATCH=%d: splitting into "
                     "sequential device programs (larger single programs "
-                    "regress ~3x on v5e via an XLA fusion cliff)",
+                    "regress ~1.5-3x on v5e via an XLA fusion cliff)",
                     nimg, max_db,
                 )
             chunks = []
