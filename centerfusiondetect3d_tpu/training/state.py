@@ -4,8 +4,10 @@ TPU-native replacement for the reference's Lightning ModelWithLoss + Trainer
 (/root/reference/src/lib/model/modelWithLoss.py:24-361, trainer.py:20-127):
 one functional train step (forward + loss + grad + optax update + BN stats),
 compiled once under jit and sharded over the device mesh by the caller.
-Backbone freezing (MODEL.FREEZE_BACKBONE / DEFREEZE) is a gradient mask over
-the backbone subtrees, mirroring the reference's requires_grad toggling
+Backbone freezing (MODEL.FREEZE_BACKBONE / DEFREEZE) differentiates only the
+head subtrees (backbone params are non-diff constants, so the backbone
+backward is pruned from the compiled step entirely) and zero-fills backbone
+grads for the optimizer, mirroring the reference's requires_grad toggling
 (dla.py:618-621, modelWithLoss.py:275-297).
 """
 
@@ -87,7 +89,7 @@ def make_train_step(model, loss_fn, freeze_backbone: bool = False) -> Callable:
     """
 
     def train_step(state: TrainState, batch: Dict[str, Any], lr):
-        def compute_loss(params):
+        def loss_from(params):
             outputs, updates = model.apply(
                 {"params": params, "batch_stats": state.batch_stats},
                 batch["image"],
@@ -100,11 +102,34 @@ def make_train_step(model, loss_fn, freeze_backbone: bool = False) -> Callable:
             total, parts = loss_fn(outputs, batch)
             return total, (parts, updates["batch_stats"])
 
-        (total, (parts, new_stats)), grads = jax.value_and_grad(
-            compute_loss, has_aux=True
-        )(state.params)
         if freeze_backbone:
-            grads = mask_backbone_grads(grads)
+            # differentiate ONLY the live (head) subtrees; the backbone
+            # params enter as non-diff closure constants, so autodiff prunes
+            # the whole backbone backward (no image gradient path exists).
+            # Numerically identical to full-grad + mask_backbone_grads —
+            # head grads depend only on feature VALUES — but ~2x faster at
+            # bs8 448x800: the shift-DCN backward (the dominant training
+            # cost) vanishes for the 85% of flagship epochs that run frozen
+            # (Centerfusion_Middle DEFREEZE=170 of 200; reference freezes by
+            # requires_grad toggling, dla.py:618-621).
+            frozen_sub = {k: v for k, v in state.params.items()
+                          if k in BACKBONE_KEYS}
+            live_sub = {k: v for k, v in state.params.items()
+                        if k not in BACKBONE_KEYS}
+
+            def compute_loss(live):
+                return loss_from({**frozen_sub, **live})
+
+            (total, (parts, new_stats)), live_grads = jax.value_and_grad(
+                compute_loss, has_aux=True
+            )(live_sub)
+            grads = {
+                **jax.tree.map(jnp.zeros_like, frozen_sub), **live_grads
+            }
+        else:
+            (total, (parts, new_stats)), grads = jax.value_and_grad(
+                loss_from, has_aux=True
+            )(state.params)
 
         # inject the LR into the optimizer hyperparams
         opt_state = state.opt_state

@@ -157,6 +157,44 @@ def test_train_step_freeze_backbone(tiny_setup):
     assert not np.allclose(np.asarray(h0), np.asarray(h1))
 
 
+@pytest.mark.slow
+def test_frozen_step_matches_masked_full_grad(tiny_setup):
+    """The pruned-backward frozen step must be numerically identical to
+    differentiating everything and masking backbone grads (the round-2
+    formulation): head grads depend only on feature VALUES."""
+    from centerfusiondetect3d_tpu.training.state import mask_backbone_grads
+
+    cfg, model, loss_fn, batch, variables = tiny_setup
+    state = create_train_state(cfg, model, variables)
+
+    def masked_reference_step(state, batch, lr):
+        def compute_loss(params):
+            outputs, updates = model.apply(
+                {"params": params, "batch_stats": state.batch_stats},
+                batch["image"], batch.get("pc_hm"), batch.get("pc_dep"),
+                batch.get("calib"), train=True, mutable=["batch_stats"],
+            )
+            total, parts = loss_fn(outputs, batch)
+            return total, (parts, updates["batch_stats"])
+
+        (_, (_, new_stats)), grads = jax.value_and_grad(
+            compute_loss, has_aux=True)(state.params)
+        grads = mask_backbone_grads(grads)
+        opt_state = state.opt_state
+        opt_state.hyperparams["learning_rate"] = jnp.asarray(lr, jnp.float32)
+        state = state.replace(opt_state=opt_state)
+        state = state.apply_gradients(grads, update_mask=mask_backbone_grads)
+        return state.replace(batch_stats=new_stats)
+
+    fast = jax.jit(make_train_step(model, loss_fn, freeze_backbone=True))
+    ref = jax.jit(masked_reference_step)
+    got, _ = fast(state, batch, 1e-3)
+    want = ref(state, batch, 1e-3)
+    for a, b_ in zip(jax.tree.leaves(got.params), jax.tree.leaves(want.params)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b_),
+                                   atol=1e-6, rtol=1e-6)
+
+
 def test_eval_step_decodes(tiny_setup):
     from centerfusiondetect3d_tpu.ops import fusion_decode
 
