@@ -515,7 +515,7 @@ def gen_frustum(torch, out_dir):
 
 
 def gen_model(torch, out_dir, node="Conv", fusion="middle", tag="",
-              frustum=False):
+              frustum=False, offset_scale=0.05, offset_bias=0.0):
     """FULL-MODEL golden: run the reference DLASeg (Conv/GlobalConv nodes —
     no torchvision needed) in eval mode on seeded inputs and save its
     state_dict + outputs.
@@ -537,6 +537,13 @@ def gen_model(torch, out_dir, node="Conv", fusion="middle", tag="",
     the parameters, so with the same torch seed the state_dict is identical
     to the frustum=False variant — these fixtures store inputs/outputs plus
     an sd checksum and reuse the base fixture's weights at test time.
+
+    ``offset_scale``/``offset_bias`` control the DCN offset-conv
+    perturbation: scale is the weight std; bias draws the 18 offset-channel
+    biases from N(0, offset_bias), which drives offsets of that magnitude
+    (in output px) through EVERY node regardless of feature statistics —
+    the "wide" fixture uses this to prove exact-DCN parity at realistic
+    trained-offset magnitudes (~1.5 px), not just near zero.
     """
     from config import config, updateDatasetAndModelConfig
     from model.model import getModel
@@ -585,9 +592,27 @@ def gen_model(torch, out_dir, node="Conv", fusion="middle", tag="",
         # offset convs small random weights so real fractional sampling
         # flows through the golden.
         with torch.no_grad():
+            gen = torch.Generator().manual_seed(23)
             for name, p_ in model.named_parameters():
-                if "conv_offset_mask" in name:
-                    p_.normal_(0.0, 0.05)
+                if "conv_offset_mask" not in name:
+                    continue
+                if name.endswith(".bias") and offset_bias:
+                    # first 18 of 27 output channels are (dy, dx) pairs;
+                    # the last 9 are the mask logits (dla.py:426-436)
+                    p_[:18] = torch.randn(18, generator=gen) * offset_bias
+                elif name.endswith(".weight"):
+                    p_.normal_(0.0, offset_scale, generator=gen)
+
+        # record the offsets the golden actually exercises (mean over
+        # nodes of the per-node std of the 18 offset channels)
+        offset_stds = []
+
+        def _grab(mod, inp, out):
+            offset_stds.append(float(out[:, :18].std()))
+
+        hooks = [m.register_forward_hook(_grab)
+                 for n_, m in model.named_modules()
+                 if n_.endswith("conv_offset_mask")]
 
     rs = np.random.RandomState(17)
     b = 2
@@ -606,6 +631,11 @@ def gen_model(torch, out_dir, node="Conv", fusion="middle", tag="",
         outs = model(t(img), pc_hm=None, pc_dep=t(pc_dep.copy()),
                      calib=t(calib))
     blob = {"in_img": img, "in_pc_dep": pc_dep, "in_calib": calib}
+    if node == "DeformConv":
+        for h_ in hooks:
+            h_.remove()
+        blob["offset_std"] = np.float64(np.mean(offset_stds))
+        print(f"  DCN offset std through the net: {np.mean(offset_stds):.3f} px")
     for k, v in outs[-1].items():
         if hasattr(v, "detach"):
             blob[f"out_{k}"] = v.detach().numpy()
@@ -662,6 +692,10 @@ def main():
     gen_model(torch, out_dir, fusion="early", tag="_early")
     gen_model(torch, out_dir, node="DeformConv", tag="_dcn")
     gen_model(torch, out_dir, frustum=True, tag="_frustum")
+    gen_model(torch, out_dir, node="DeformConv", tag="_dcn_wide",
+              offset_scale=0.3, offset_bias=1.5)
+    gen_model(torch, out_dir, node="DeformConv", frustum=True,
+              tag="_dcn_wide_frustum", offset_scale=0.3, offset_bias=1.5)
     gen_model(torch, out_dir, node="DeformConv", frustum=True,
               tag="_dcn_frustum")
 
