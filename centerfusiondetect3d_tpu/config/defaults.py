@@ -87,9 +87,13 @@ def default_config() -> ConfigNode:
     # shift_hybrid: fraction of output pixels (those with the largest
     # offsets) recomputed EXACTLY via sparse gathers and patched over the
     # shift result - makes the fast path safe when trained offsets
-    # occasionally exceed DCN_MAX_OFFSET (residual error only if more than
-    # this fraction of pixels overflow).
+    # occasionally exceed DCN_MAX_OFFSET.
     c.MODEL.DLA.DCN_CORRECT_FRAC = 0.03
+    # shift_hybrid candidate selection: True = jax.lax.approx_max_k (fast,
+    # recall ~0.95 - a few overflowing pixels may keep shift accuracy), False
+    # = exact top_k (the 'residual error only if more than DCN_CORRECT_FRAC
+    # of pixels overflow' guarantee holds strictly).
+    c.MODEL.DLA.DCN_CORRECT_APPROX = True
 
     c.LOSS_WEIGHTS = ConfigNode()
     c.LOSS_WEIGHTS.HEATMAP = 1.0

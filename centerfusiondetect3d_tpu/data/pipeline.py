@@ -71,6 +71,11 @@ class Loader:
         if self.shard:
             # padded shards (see _indices) are all exactly ceil(n/ns) long
             n = -(-n // self.shard[1])
+        if self.pad_to_batch:
+            # the index stream is padded to a batch_size multiple, so every
+            # batch exists and is full — drop_last must not discard the
+            # padded final batch
+            return -(-n // self.batch_size)
         return n // self.batch_size if self.drop_last else -(-n // self.batch_size)
 
     def _indices(self) -> np.ndarray:

@@ -357,9 +357,11 @@ def nuscenes_gt_to_kitti(dataroot: str, version: str, split: str,
                                                  imsize=imsize)
             if bbox_2d is None:
                 continue
+            # GT lines carry NO score column (box_to_string omits it for
+            # NaN): strict KITTI consumers expect 15-column GT files
             lines.append(box_to_string(
                 name, c_cam, wlh, yaw_camera_from_quat(q_cam),
-                bbox_2d=bbox_2d, truncation=0.0, occlusion=0, score=0.0))
+                bbox_2d=bbox_2d, truncation=0.0, occlusion=0))
         with open(os.path.join(label_dir, token + ".txt"), "w") as f:
             f.write("\n".join(lines) + ("\n" if lines else ""))
         tokens.append(token)

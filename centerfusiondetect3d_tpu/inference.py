@@ -121,10 +121,13 @@ def main(argv=None):
         if args.save_dir:
             import cv2
 
-            imgs, dscales = detector.load_data(frame, return_scales=True)
-            img = imgs[0]
+            # reuse the frames run() already decoded (decode dominates the
+            # host budget; a second load_data would also double-count the
+            # 'decode' stage stats)
+            img = ret["images"][0]
             vis = draw_detections(img, items, NuScenesDataset.class_name,
-                                  args.conf_thresh, scale=dscales[0])
+                                  args.conf_thresh,
+                                  scale=ret["decode_scales"][0])
             stem = os.path.splitext(name)[0]
             cv2.imwrite(os.path.join(args.save_dir, f"{stem}_det.jpg"), vis)
             if args.show_attention:

@@ -46,6 +46,7 @@ class CenterFusionDLA(nn.Module):
     dcn_impl: str = "auto"  # shift | xla | pallas | auto (shift on TPU)
     dcn_max_offset: float = 1.0  # shift-impl offset clamp (output px)
     dcn_correct_frac: float = 0.03  # shift_hybrid: exact-corrected pixel frac
+    dcn_correct_approx: bool = True  # shift_hybrid selection: approx_max_k
     fused_heads: bool = False  # opt-in: head towers through one wide conv
     approx_topk: bool = False  # TPU bucketed top-k in the frustum stage
     dtype: Any = jnp.float32
@@ -61,6 +62,7 @@ class CenterFusionDLA(nn.Module):
                 DeformConvNode, dcn_impl=self.dcn_impl,
                 dcn_max_offset=self.dcn_max_offset,
                 dcn_correct_frac=self.dcn_correct_frac,
+                dcn_correct_approx=self.dcn_correct_approx,
             )
             node_type = (cfg_node, cfg_node)
         channels = DLA34_CHANNELS  # resnet backbones share the channel ladder
@@ -215,6 +217,8 @@ def build_model(config, dtype=None) -> CenterFusionDLA:
         dcn_impl=str(config.MODEL.DLA.get("DCN_IMPL", "auto")),
         dcn_max_offset=float(config.MODEL.DLA.get("DCN_MAX_OFFSET", 1.0)),
         dcn_correct_frac=float(config.MODEL.DLA.get("DCN_CORRECT_FRAC", 0.03)),
+        dcn_correct_approx=bool(config.MODEL.DLA.get("DCN_CORRECT_APPROX",
+                                                     True)),
         fused_heads=bool(config.MODEL.get("FUSED_HEAD_TOWERS", False)),
         approx_topk=bool(config.MODEL.get("APPROX_TOPK", False)),
         dtype=dtype,

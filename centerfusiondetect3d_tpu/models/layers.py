@@ -179,6 +179,7 @@ class DeformConvNode(nn.Module):
     dcn_impl: str = "auto"
     dcn_max_offset: float = 1.0
     dcn_correct_frac: float = 0.03
+    dcn_correct_approx: bool = True
     dtype: Any = jnp.float32
 
     @nn.compact
@@ -228,6 +229,7 @@ class DeformConvNode(nn.Module):
                 weight.astype(self.dtype), bias.astype(self.dtype),
                 max_offset=self.dcn_max_offset,
                 correct_frac=self.dcn_correct_frac,
+                approx=self.dcn_correct_approx,
             )
         elif impl == "pallas":
             from ..ops.pallas_dcn import deform_conv2d_fast

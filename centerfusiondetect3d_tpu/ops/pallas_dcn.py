@@ -344,8 +344,16 @@ def deform_conv2d_pallas_static(x, offset, mask, weight, bias=None, *,
         _dcn_static_kernel, br=br, w=w, c=c, o=o, pad=pad, r=r
     )
     # overlapping halo window on x: Element block dims take ELEMENT offsets
-    # from the index_map (no public alias for Element as of jax 0.9)
-    from jax._src.pallas.core import Element as _Element
+    # from the index_map (no public alias for Element as of jax 0.9; the
+    # private path carries no stability guarantee, so fail with a pointer to
+    # the supported impls instead of a bare ImportError on a jax upgrade)
+    try:
+        from jax._src.pallas.core import Element as _Element
+    except ImportError as e:  # pragma: no cover - jax-version dependent
+        raise NotImplementedError(
+            "deform_conv2d_pallas_static needs jax._src.pallas.core.Element "
+            "(moved/renamed in this jax version); use DCN_IMPL=shift or xla"
+        ) from e
 
     out = pl.pallas_call(
         kernel,

@@ -560,8 +560,14 @@ class Detector:
                 if abs(s - 1.0) < 1e-6 or base_ret is None:
                     base_ret = ret
             base_ret["results"] = self._merge_scales(per_scale)
-            return base_ret
-        return self._run_single(imgs, img_infos, radar_pcs, dscales)
+        else:
+            base_ret = self._run_single(imgs, img_infos, radar_pcs, dscales)
+        # expose the decoded frames so callers (e.g. inference --save-dir
+        # overlays) don't JPEG-decode a second time — decode is the dominant
+        # host stage and a re-decode would double-count its stage stats
+        base_ret["images"] = imgs
+        base_ret["decode_scales"] = dscales
+        return base_ret
 
     def _run_single(self, imgs: List[np.ndarray], img_infos=None,
                     radar_pcs=None, decode_scales=None) -> Dict:

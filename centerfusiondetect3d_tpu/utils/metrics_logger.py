@@ -6,9 +6,9 @@ wandb, so runs log append-only JSONL events (scalars per epoch/step, eval
 summaries, alerts) that any dashboard can tail, plus an on-disk latest-state
 snapshot. Interface kept minimal and dependency-free.
 
-When the ``wandb`` package IS importable and ``WANDB_PROJECT`` (or
-``WANDB_API_KEY``) is set, every event is additionally mirrored to a wandb
-run — resumed by the persisted ``run_id`` exactly like the reference's
+When the ``wandb`` package IS importable and ``WANDB_PROJECT`` is set,
+every event from process 0 is additionally mirrored to a wandb run —
+resumed by the persisted ``run_id`` exactly like the reference's
 ``initWandb`` id persistence (logger.py:421-460). Absent either, the mirror
 is a silent no-op, so the adapter costs nothing in this image.
 """
@@ -37,9 +37,19 @@ class MetricsLogger:
 
     def _init_wandb(self):
         """Optional wandb mirror (reference logger.py:421-460): requires the
-        package AND explicit env opt-in; resumes by persisted run_id."""
-        if not (os.environ.get("WANDB_PROJECT") or os.environ.get("WANDB_API_KEY")):
+        package AND explicit WANDB_PROJECT opt-in (an ambient WANDB_API_KEY
+        alone must not hijack runs); resumes by persisted run_id. Only
+        process 0 mirrors — every rank calling wandb.init with the same run
+        id would interleave writers (the reference inits wandb once)."""
+        if not os.environ.get("WANDB_PROJECT"):
             return None
+        try:
+            import jax
+
+            if jax.process_index() != 0:
+                return None
+        except Exception:
+            pass
         try:
             import wandb
         except ImportError:

@@ -221,3 +221,28 @@ def test_loader_shard_padding_equalizes_batch_counts():
         seen.update(ids)
     assert counts == [6, 6]  # ceil(11/2) each, one duplicated index
     assert seen == set(range(11))  # padding never drops coverage
+
+
+def test_loader_pad_to_batch_with_drop_last():
+    """pad_to_batch pads the index stream to a batch_size multiple; the
+    padded final batch must survive drop_last (len counts it and iteration
+    yields it) — every batch is full by construction."""
+    from centerfusiondetect3d_tpu.data.pipeline import Loader
+
+    class DS:
+        def __len__(self):
+            return 5
+
+        def get_item(self, i, rng=None):
+            return {"idx": np.array([i], np.int64)}
+
+    for drop_last in (True, False):
+        loader = Loader(DS(), batch_size=4, shuffle=False, prefetch=0,
+                        num_threads=1, drop_keys=(), drop_last=drop_last,
+                        pad_to_batch=True)
+        batches = list(loader)
+        assert len(loader) == 2 and len(batches) == 2
+        ids = [int(v) for b in batches for v in b["idx"][:, 0]]
+        # 5 indices padded to 8 by repeating leading ones; all full batches
+        assert ids == [0, 1, 2, 3, 4, 0, 1, 2]
+        assert all(b["idx"].shape[0] == 4 for b in batches)

@@ -185,3 +185,21 @@ def test_shift_hybrid_corrects_clamped_pixels():
     assert np.isfinite(g).all()
     # nonzero offset gradient at a corrected (overflowing) pixel
     assert np.abs(g[0, hot[0][0], hot[0][1]]).max() > 0
+
+
+def test_hybrid_approx_flag_plumbs_from_config():
+    """MODEL.DLA.DCN_CORRECT_APPROX reaches the DeformConv nodes: the strict
+    'residual error only above DCN_CORRECT_FRAC overflow' guarantee needs
+    exact top_k selection, which must be reachable from config (approx_max_k
+    recall is ~0.95)."""
+    from centerfusiondetect3d_tpu.config import load_config
+    from centerfusiondetect3d_tpu.models import build_model
+
+    cfg = load_config(
+        opts=["MODEL.DLA.NODE", "DeformConv", "MODEL.DLA.DCN_IMPL",
+              "'shift_hybrid'", "MODEL.DLA.DCN_CORRECT_APPROX", "False"],
+        num_classes=10,
+    )
+    model = build_model(cfg)
+    assert model.dcn_correct_approx is False
+    assert build_model(load_config(num_classes=10)).dcn_correct_approx is True

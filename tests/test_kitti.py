@@ -130,7 +130,11 @@ def test_gt_export_and_submission_roundtrip(raw_root, tmp_path):  # noqa: F811
     with open(os.path.join(out, "mini_train", "label_2", "sa0.txt")) as f:
         lines = [l for l in f.read().splitlines() if l.strip()]
     assert len(lines) == 1
+    # GT files are strict 15-column KITTI (no score column; the reference's
+    # box_to_string omits it for NaN scores, utils_kitti.py:412-414)
+    assert len(lines[0].split(" ")) == 15
     b = kitti.parse_label_line(lines[0])
+    assert np.isnan(b["score"])
     assert b["name"] == "car"
     # identity sensors: camera frame == nuScenes global here; the fixture
     # annotation sits at (0.5, 0.2, 10.0) with h=1.6 -> bottom center y+0.8

@@ -71,3 +71,23 @@ def test_wandb_absent_is_noop(tmp_path, monkeypatch):
     m = MetricsLogger(str(tmp_path))
     assert m._wandb is None
     m.scalars({"x": 1.0})  # must not raise
+
+
+def test_wandb_not_hijacked_by_api_key_alone(tmp_path, monkeypatch):
+    """An ambient WANDB_API_KEY without an explicit WANDB_PROJECT opt-in
+    must NOT start a wandb run (shared machines export the key globally)."""
+    stub = types.ModuleType("wandb")
+
+    def _boom(**kw):
+        raise AssertionError("wandb.init called without WANDB_PROJECT")
+
+    stub.init = _boom
+    monkeypatch.setitem(sys.modules, "wandb", stub)
+    monkeypatch.delenv("WANDB_PROJECT", raising=False)
+    monkeypatch.setenv("WANDB_API_KEY", "secret")
+
+    from centerfusiondetect3d_tpu.utils.metrics_logger import MetricsLogger
+
+    m = MetricsLogger(str(tmp_path))
+    assert m._wandb is None
+    m.scalars({"loss": 1.0}, step=0)  # still logs to JSONL, no wandb
