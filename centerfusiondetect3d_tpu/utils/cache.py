@@ -17,10 +17,42 @@ DEFAULT_CACHE_DIR = os.path.join(
 )
 
 
+def _host_cache_tag() -> str:
+    """Host-ISA fingerprint for partitioning CPU-backend cache entries.
+
+    XLA:CPU AOT results embed machine-feature-specific code chosen by the
+    COMPILING host, and jax's cache key does not include the executing
+    host's features — loading an entry produced on a machine with e.g. AMX
+    onto one without it SIGILLs mid-execution (observed: Eigen pack_rhs
+    crash in dryrun_multichip after a machine change between rounds).
+    """
+    import hashlib
+    import platform
+
+    try:
+        with open("/proc/cpuinfo") as f:
+            for line in f:
+                if line.startswith(("flags", "Features")):
+                    return hashlib.sha1(line.encode()).hexdigest()[:10]
+    except OSError:
+        pass
+    return platform.machine() or "unknown"
+
+
 def enable_compilation_cache(cache_dir: str = "") -> str:
     import jax
 
     cache_dir = cache_dir or DEFAULT_CACHE_DIR
+    # TPU executables are host-independent (compiled for the chip) and stay
+    # in the shared top-level dir; CPU-platform runs get a per-host subdir.
+    platforms = ""
+    try:
+        platforms = jax.config.jax_platforms or ""
+    except Exception:
+        pass
+    platforms = platforms or os.environ.get("JAX_PLATFORMS", "") or ""
+    if "cpu" in [p.strip() for p in platforms.split(",") if p.strip()]:
+        cache_dir = os.path.join(cache_dir, "cpu-" + _host_cache_tag())
     os.makedirs(cache_dir, exist_ok=True)
     try:
         jax.config.update("jax_compilation_cache_dir", cache_dir)

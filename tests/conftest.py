@@ -6,7 +6,13 @@ import os
 # (before any backend is instantiated).
 flags = os.environ.get("XLA_FLAGS", "")
 if "xla_force_host_platform_device_count" not in flags:
-    os.environ["XLA_FLAGS"] = flags + " --xla_force_host_platform_device_count=8"
+    flags += " --xla_force_host_platform_device_count=8"
+if "xla_cpu_collective_call_terminate_timeout_seconds" not in flags:
+    # 8 device threads time-share the host cores; on a 1-core host the
+    # default 40s rendezvous termination timeout kills collective tests
+    flags += (" --xla_cpu_collective_call_terminate_timeout_seconds=3600"
+              " --xla_cpu_collective_call_warn_stuck_timeout_seconds=600")
+os.environ["XLA_FLAGS"] = flags
 
 import jax
 
