@@ -76,20 +76,18 @@ def shard_batch(batch: Dict[str, Any], mesh: Mesh) -> Dict[str, Any]:
             # batch-leading array whose local rows don't divide the local
             # device count: a naive replicated assembly would treat each
             # process's DIFFERENT shard as the same global value (silently
-            # wrong). Gather all process copies first; if they are identical
-            # the array was genuinely replicated (e.g. a shared lookup
-            # table) and one copy is kept — otherwise concatenate into the
-            # true global batch. Correctness over parallelism either way.
+            # wrong). Assemble the true global batch on every process, then
+            # replicate — correctness over parallelism. (Do NOT try to
+            # detect "genuinely replicated" inputs by value equality here:
+            # constant-valued keys — all-zero masks, shared calibs — would
+            # then keep one copy while varying keys concatenate, leaving the
+            # batch with inconsistent leading dims. Replicated-per-process
+            # batches belong on a process-LOCAL mesh, as Trainer.val does.)
             arr = np.asarray(arr)
             if arr.ndim >= 1 and arr.shape[0] > 0:
                 from jax.experimental.multihost_utils import process_allgather
 
-                stacked = np.asarray(process_allgather(arr))  # (P, ...)
-                if all(np.array_equal(stacked[i], stacked[0])
-                       for i in range(1, stacked.shape[0])):
-                    arr = stacked[0]
-                else:
-                    arr = stacked.reshape((-1,) + stacked.shape[2:])
+                arr = np.asarray(process_allgather(arr, tiled=True))
             return jax.make_array_from_process_local_data(replicated_s, arr)
         fits = arr.ndim >= 1 and arr.shape[0] % n_data == 0 and arr.shape[0] > 0
         return jax.device_put(x, sharded if fits else replicated_s)
