@@ -55,7 +55,7 @@ def test_two_process_all_gather(tmp_path):
     ]
     outs = []
     for p in procs:
-        out, _ = p.communicate(timeout=300)
+        out, _ = p.communicate(timeout=900)
         outs.append(out.decode())
     for pid, (p, out) in enumerate(zip(procs, outs)):
         assert p.returncode == 0, f"proc{pid} failed:\n{out[-2000:]}"
@@ -147,7 +147,7 @@ def test_two_process_data_parallel_train_step(tmp_path):
     ]
     outs = []
     for p in procs:
-        out, _ = p.communicate(timeout=560)
+        out, _ = p.communicate(timeout=1800)
         outs.append(out.decode())
     losses = []
     for pid, (p, out) in enumerate(zip(procs, outs)):
@@ -260,7 +260,7 @@ def test_two_process_sharded_validation(tmp_path):
     def collect(procs):
         outs = []
         for p in procs:
-            out, _ = p.communicate(timeout=560)
+            out, _ = p.communicate(timeout=1800)
             outs.append(out.decode())
         digests = []
         for pid, (p, out) in enumerate(zip(procs, outs)):
