@@ -94,6 +94,10 @@ def default_config() -> ConfigNode:
     # = exact top_k (the 'residual error only if more than DCN_CORRECT_FRAC
     # of pixels overflow' guarantee holds strictly).
     c.MODEL.DLA.DCN_CORRECT_APPROX = True
+    # eval-time space-to-depth stem: run the full/half-res 3..32-channel stem
+    # convs in s2d(2) space (exact weight reparameterization; MXU-dense
+    # shapes, no layout-copy chains). Training always uses the plain stem.
+    c.MODEL.DLA.S2D_STEM = True
 
     c.LOSS_WEIGHTS = ConfigNode()
     c.LOSS_WEIGHTS.HEATMAP = 1.0

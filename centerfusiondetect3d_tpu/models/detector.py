@@ -49,6 +49,7 @@ class CenterFusionDLA(nn.Module):
     dcn_correct_approx: bool = True  # shift_hybrid selection: approx_max_k
     fused_heads: bool = False  # opt-in: head towers through one wide conv
     approx_topk: bool = False  # TPU bucketed top-k in the frustum stage
+    s2d_stem: bool = True  # eval-time space-to-depth stem (exact; DLA only)
     dtype: Any = jnp.float32
 
     def setup(self):
@@ -75,7 +76,7 @@ class CenterFusionDLA(nn.Module):
         family, _, depth = self.arch.partition("_")
         if family == "dla":
             base_cls = DLA
-            base_kwargs = {}
+            base_kwargs = {"s2d_stem": self.s2d_stem}
         elif family == "resnet":
             from .resnet import ResNetBackbone
 
@@ -221,5 +222,6 @@ def build_model(config, dtype=None) -> CenterFusionDLA:
                                                      True)),
         fused_heads=bool(config.MODEL.get("FUSED_HEAD_TOWERS", False)),
         approx_topk=bool(config.MODEL.get("APPROX_TOPK", False)),
+        s2d_stem=bool(config.MODEL.DLA.get("S2D_STEM", True)),
         dtype=dtype,
     )
