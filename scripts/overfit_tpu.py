@@ -1,0 +1,106 @@
+"""Flagship-scale TPU training convergence smoke.
+
+Overfits a synthetic nuScenes scene at PRODUCTION shape/config — 448x800,
+bs4, DeformConv nodes (shift DCN + STE clamp), mixed-precision bf16 — on
+the real chip, then eval-decodes (S2D stem path) and checks the GT objects
+are recovered. The CPU overfit test (tests/test_overfit_slow.py) proves the
+math at toy scale; this proves the production TPU path end to end:
+train-step compile, bf16 numerics, frozen/unfrozen phases, eval decode.
+
+    PYTHONPATH=/root/repo:/root/.axon_site python scripts/overfit_tpu.py
+"""
+
+from __future__ import annotations
+
+import sys
+import tempfile
+import time
+
+import numpy as np
+
+
+def main():
+    import jax
+    import jax.numpy as jnp
+
+    from centerfusiondetect3d_tpu.utils.cache import enable_compilation_cache
+
+    enable_compilation_cache()
+    from centerfusiondetect3d_tpu.config import load_config
+    from centerfusiondetect3d_tpu.data import (NuScenesDataset,
+                                               make_synthetic_nuscenes)
+    from centerfusiondetect3d_tpu.data.pipeline import stack_items
+    from centerfusiondetect3d_tpu.geometry import get_affine_transform
+    from centerfusiondetect3d_tpu.losses import GenericLoss
+    from centerfusiondetect3d_tpu.models import build_model
+    from centerfusiondetect3d_tpu.ops import fusion_decode, post_process
+    from centerfusiondetect3d_tpu.training import (create_train_state,
+                                                   make_train_step)
+
+    root = tempfile.mkdtemp()
+    make_synthetic_nuscenes(root, n_samples=4, img_wh=(800, 448),
+                            n_objects=3, seed=7)
+    cfg = load_config(
+        opts=["DATASET.ROOT", repr(root + "/"),
+              "MODEL.INPUT_SIZE", "(448, 800)",
+              "MODEL.DLA.NODE", "DeformConv", "MODEL.K", "16"],
+        num_classes=10,
+    )
+    ds = NuScenesDataset(cfg, "mini_val")
+    items = [ds.get_item(i, rng=None) for i in range(4)]
+    batch = jax.tree.map(
+        jnp.asarray,
+        stack_items([{k: v for k, v in it.items() if k != "meta"}
+                     for it in items]),
+    )
+    model, loss_fn = build_model(cfg), GenericLoss(cfg)
+    variables = jax.jit(model.init, static_argnames=("train",))(
+        jax.random.PRNGKey(0), batch["image"], batch["pc_hm"],
+        batch["pc_dep"], batch["calib"], train=True)
+    state = create_train_state(cfg, model, variables)
+    step = jax.jit(make_train_step(model, loss_fn), donate_argnums=(0,))
+
+    t0 = time.perf_counter()
+    first = None
+    for i in range(400):
+        state, metrics = step(state, batch, 2e-4 if i < 300 else 5e-5)
+        if i % 50 == 0 or i == 399:
+            tot = float(metrics["total"])
+            if first is None:
+                first = tot
+            print(f"step {i:4d}: loss {tot:8.3f} "
+                  f"({time.perf_counter() - t0:6.1f}s)", flush=True)
+    last = float(metrics["total"])
+    print(f"loss {first:.2f} -> {last:.2f} ({first / max(last, 1e-9):.1f}x)")
+    assert last < first / 5, (first, last)
+
+    outs = model.apply(
+        {"params": state.params, "batch_stats": state.batch_stats},
+        batch["image"], batch["pc_hm"], batch["pc_dep"], batch["calib"],
+        train=False)
+    dets = fusion_decode(outs, cfg.MODEL.OUTPUT_SIZE, k=16)
+    oh, ow = cfg.MODEL.OUTPUT_SIZE
+    trans = get_affine_transform(np.array([400.0, 224.0]), 800.0, 0,
+                                 (ow, oh), inverse=True)
+    res = post_process(dets, trans, (oh, ow), batch["calib"])
+    scores = np.asarray(res["scores"])
+    locs = np.asarray(res["locations"])
+    classes = np.asarray(res["classIds"])
+    hits = misses = 0
+    for b in range(4):
+        anns = ds.coco.load_anns(ds.coco.get_ann_ids(ds.images[b]))
+        for a in anns:
+            ok = any(
+                int(classes[b, k]) == a["category_id"]
+                and scores[b, k] > 0.25
+                and abs(float(locs[b, k, 2]) - a["depth"]) < 0.2 * a["depth"]
+                for k in range(16))
+            hits += ok
+            misses += not ok
+    print(f"GT recovery: {hits} hit / {misses} missed")
+    assert hits >= 2 * misses, (hits, misses)
+    print("TPU OVERFIT SMOKE OK")
+
+
+if __name__ == "__main__":
+    sys.exit(main())
