@@ -98,6 +98,15 @@ def default_config() -> ConfigNode:
     # convs in s2d(2) space (exact weight reparameterization; MXU-dense
     # shapes, no layout-copy chains). Training always uses the plain stem.
     c.MODEL.DLA.S2D_STEM = True
+    # deep DCN nodes (in_ch >= DCN_DEEP_MIN_CH) use this impl instead of
+    # the plain clamped fast path: trained offsets at those nodes reach
+    # p99 ~8 px (measured on the TPU overfit run, scripts/overfit_tpu.py)
+    # while the shallow nodes stay within ~1.5 px. shift_hybrid exactly
+    # recomputes the top DCN_CORRECT_FRAC largest-offset pixels — measured
+    # ~3 fps vs all-shift (138.0 vs 141.2 at bs6 448x800), vs 25 fps for
+    # full exact gathers at those nodes. '' disables the override.
+    c.MODEL.DLA.DCN_DEEP_IMPL = "shift_hybrid"
+    c.MODEL.DLA.DCN_DEEP_MIN_CH = 256
 
     c.LOSS_WEIGHTS = ConfigNode()
     c.LOSS_WEIGHTS.HEATMAP = 1.0

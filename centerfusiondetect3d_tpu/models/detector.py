@@ -50,6 +50,8 @@ class CenterFusionDLA(nn.Module):
     fused_heads: bool = False  # opt-in: head towers through one wide conv
     approx_topk: bool = False  # TPU bucketed top-k in the frustum stage
     s2d_stem: bool = True  # eval-time space-to-depth stem (exact; DLA only)
+    dcn_deep_impl: str = "shift_hybrid"  # deep nodes: large trained offsets
+    dcn_deep_min_ch: int = 256  # in_ch threshold for the deep-node override
     dtype: Any = jnp.float32
 
     def setup(self):
@@ -64,6 +66,8 @@ class CenterFusionDLA(nn.Module):
                 dcn_max_offset=self.dcn_max_offset,
                 dcn_correct_frac=self.dcn_correct_frac,
                 dcn_correct_approx=self.dcn_correct_approx,
+                dcn_deep_impl=self.dcn_deep_impl,
+                dcn_deep_min_ch=self.dcn_deep_min_ch,
             )
             node_type = (cfg_node, cfg_node)
         channels = DLA34_CHANNELS  # resnet backbones share the channel ladder
@@ -223,5 +227,7 @@ def build_model(config, dtype=None) -> CenterFusionDLA:
         fused_heads=bool(config.MODEL.get("FUSED_HEAD_TOWERS", False)),
         approx_topk=bool(config.MODEL.get("APPROX_TOPK", False)),
         s2d_stem=bool(config.MODEL.DLA.get("S2D_STEM", True)),
+        dcn_deep_impl=str(config.MODEL.DLA.get("DCN_DEEP_IMPL", "shift_hybrid")),
+        dcn_deep_min_ch=int(config.MODEL.DLA.get("DCN_DEEP_MIN_CH", 256)),
         dtype=dtype,
     )

@@ -180,6 +180,15 @@ class DeformConvNode(nn.Module):
     dcn_max_offset: float = 1.0
     dcn_correct_frac: float = 0.03
     dcn_correct_approx: bool = True
+    # deep-node override: trained offsets stay within ~1.5 px (p99) at the
+    # shallow high-resolution nodes but reach p99 ~8 / max ~48 px at the
+    # deep ones (measured on the TPU overfit run, scripts/overfit_tpu.py).
+    # Nodes with in_ch >= dcn_deep_min_ch use dcn_deep_impl: shift_hybrid
+    # exactly recomputes the largest-offset pixels for ~3 fps model-wide
+    # (full exact gathers there would cost 25 fps — one 256-ch node sits at
+    # stride-4 resolution).
+    dcn_deep_impl: str = "shift_hybrid"
+    dcn_deep_min_ch: int = 256
     dtype: Any = jnp.float32
 
     @nn.compact
@@ -213,6 +222,11 @@ class DeformConvNode(nn.Module):
             import jax
 
             impl = "shift" if jax.default_backend() == "tpu" else "xla"
+        if (impl in ("shift", "shift_hybrid")
+                and self.dcn_deep_impl
+                and in_ch >= self.dcn_deep_min_ch):
+            # clamped fast paths only where trained offsets stay in range
+            impl = self.dcn_deep_impl
         if impl == "shift":
             from ..ops.dcn import deform_conv2d_shift
 

@@ -99,6 +99,33 @@ def main():
             misses += not ok
     print(f"GT recovery: {hits} hit / {misses} missed")
     assert hits >= 2 * misses, (hits, misses)
+
+    # trained DCN offset magnitudes (ROADMAP: pick DCN_MAX_OFFSET from
+    # real trained offsets): run the backbone features through each node's
+    # offset conv and report |offset| stats per DCN node
+    intermediates = model.apply(
+        {"params": state.params, "batch_stats": state.batch_stats},
+        batch["image"], batch["pc_hm"], batch["pc_dep"], batch["calib"],
+        train=False, capture_intermediates=lambda mdl, name: mdl.name == "conv_offset_mask",
+        mutable=["intermediates"])[1]["intermediates"]
+
+    def walk(tree, path=()):
+        if isinstance(tree, dict):
+            for k, v in tree.items():
+                yield from walk(v, path + (k,))
+        else:
+            yield path, tree
+
+    rows = []
+    for path, v in walk(intermediates):
+        if "conv_offset_mask" in path and path[-1] == "__call__":
+            om = np.asarray(v[0], np.float32)
+            off = om[..., :18]
+            rows.append(("/".join(path[:-2]), np.abs(off).mean(),
+                         np.percentile(np.abs(off), 99), np.abs(off).max()))
+    print("\ntrained |offset| per DCN node (mean / p99 / max, output px):")
+    for name, m, p99, mx in rows:
+        print(f"  {m:6.3f} {p99:6.3f} {mx:6.3f}  {name}")
     print("TPU OVERFIT SMOKE OK")
 
 

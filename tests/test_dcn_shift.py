@@ -203,3 +203,19 @@ def test_hybrid_approx_flag_plumbs_from_config():
     model = build_model(cfg)
     assert model.dcn_correct_approx is False
     assert build_model(load_config(num_classes=10)).dcn_correct_approx is True
+
+
+def test_deep_node_impl_override_plumbs():
+    """MODEL.DLA.DCN_DEEP_IMPL/DCN_DEEP_MIN_CH reach the DCN nodes: deep
+    nodes (measured trained-offset p99 ~8 px, scripts/overfit_tpu.py) must
+    route to the exact-corrected impl while shallow nodes keep the fast
+    clamped path."""
+    from centerfusiondetect3d_tpu.config import load_config
+    from centerfusiondetect3d_tpu.models import build_model
+
+    model = build_model(load_config(num_classes=10))
+    assert model.dcn_deep_impl == "shift_hybrid"
+    assert model.dcn_deep_min_ch == 256
+
+    cfg = load_config(opts=["MODEL.DLA.DCN_DEEP_IMPL", "''"], num_classes=10)
+    assert build_model(cfg).dcn_deep_impl == ""
