@@ -156,6 +156,10 @@ def default_config() -> ConfigNode:
     c.TPU = ConfigNode()
     c.TPU.MESH_DATA = -1  # -1: all available devices on the data axis
     c.TPU.MESH_MODEL = 1
+    # shard image/feature HEIGHT over this many chips (XLA inserts the conv
+    # halo exchanges); the CNN analogue of sequence parallelism. Use when a
+    # resolution/batch is too large for one chip's HBM.
+    c.TPU.MESH_SPATIAL = 1
     c.TPU.PREFETCH = 2  # host->device prefetch depth
     c.TPU.DONATE = True
     c.TPU.PLATFORM = ""  # force a jax platform (e.g. 'cpu'); '' = default

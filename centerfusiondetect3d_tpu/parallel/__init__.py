@@ -1,22 +1,26 @@
 from .mesh import (
     make_mesh,
     batch_sharding,
+    spatial_sharding,
     replicated,
     shard_batch,
     replicate,
     gather_detections,
     DATA_AXIS,
+    SPATIAL_AXIS,
     MODEL_AXIS,
 )
 
 __all__ = [
     "make_mesh",
     "batch_sharding",
+    "spatial_sharding",
     "replicated",
     "shard_batch",
     "replicate",
     "gather_detections",
     "DATA_AXIS",
+    "SPATIAL_AXIS",
     "MODEL_AXIS",
 ]
 from .distributed import initialize, is_main_process, all_gather_detections

@@ -20,21 +20,37 @@ import numpy as np
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
 DATA_AXIS = "data"
+SPATIAL_AXIS = "spatial"
 MODEL_AXIS = "model"
 
+#: batch keys that carry (B, H, W, C) maps and may shard H over 'spatial'
+SPATIAL_KEYS = ("image", "pc_hm", "pc_dep", "heatmap0")
 
-def make_mesh(n_data: int = -1, n_model: int = 1, devices=None) -> Mesh:
-    """Build a (data, model) mesh; n_data == -1 uses all remaining devices."""
+
+def make_mesh(n_data: int = -1, n_model: int = 1, n_spatial: int = 1,
+              devices=None) -> Mesh:
+    """Build a (data, spatial, model) mesh; n_data == -1 uses all remaining
+    devices. 'spatial' shards image/feature HEIGHT across chips — a CNN's
+    sequence-parallel analogue: XLA's SPMD partitioner inserts the conv halo
+    exchanges automatically, so very large resolutions (or tight HBM) split
+    spatially with no model changes. Size-1 axes are free."""
     devices = list(devices if devices is not None else jax.devices())
     if n_data == -1:
-        n_data = len(devices) // n_model
-    devs = np.asarray(devices[: n_data * n_model]).reshape(n_data, n_model)
-    return Mesh(devs, (DATA_AXIS, MODEL_AXIS))
+        n_data = len(devices) // (n_model * n_spatial)
+    devs = np.asarray(devices[: n_data * n_spatial * n_model]).reshape(
+        n_data, n_spatial, n_model
+    )
+    return Mesh(devs, (DATA_AXIS, SPATIAL_AXIS, MODEL_AXIS))
 
 
 def batch_sharding(mesh: Mesh) -> NamedSharding:
     """Leading (batch) dim sharded over the data axis."""
     return NamedSharding(mesh, P(DATA_AXIS))
+
+
+def spatial_sharding(mesh: Mesh) -> NamedSharding:
+    """(B, H, W, C) maps: batch over 'data', height over 'spatial'."""
+    return NamedSharding(mesh, P(DATA_AXIS, SPATIAL_AXIS))
 
 
 def replicated(mesh: Mesh) -> NamedSharding:
@@ -52,9 +68,15 @@ def shard_batch(batch: Dict[str, Any], mesh: Mesh) -> Dict[str, Any]:
     the global array is assembled via ``make_array_from_process_local_data``
     (the global batch is ``local * process_count``), matching how each DDP
     rank feeds its own loader shard in the reference (main.py:100,117).
+
+    When the mesh has a 'spatial' axis of size > 1 (single-process only),
+    the known (B, H, W, C) map keys (``SPATIAL_KEYS``) additionally shard H
+    over it, so activations enter the model already spatially partitioned.
     """
     n_data = mesh.shape[DATA_AXIS]
+    n_spatial = mesh.shape.get(SPATIAL_AXIS, 1)
     sharded = batch_sharding(mesh)
+    spatial_s = spatial_sharding(mesh)
     replicated_s = replicated(mesh)
     # multi-process semantics only when the MESH spans processes: a
     # process-local mesh (e.g. rank-sharded eval) uses plain device_put even
@@ -64,7 +86,7 @@ def shard_batch(batch: Dict[str, Any], mesh: Mesh) -> Dict[str, Any]:
     multiproc = mesh_procs != {pidx}
     local_data = max(1, n_data // max(1, len(mesh_procs)))
 
-    def put(x):
+    def put(path, x):
         arr = np.asarray(x) if not hasattr(x, "shape") else x
         if multiproc:
             fits = (arr.ndim >= 1 and arr.shape[0] > 0
@@ -90,9 +112,13 @@ def shard_batch(batch: Dict[str, Any], mesh: Mesh) -> Dict[str, Any]:
                 arr = np.asarray(process_allgather(arr, tiled=True))
             return jax.make_array_from_process_local_data(replicated_s, arr)
         fits = arr.ndim >= 1 and arr.shape[0] % n_data == 0 and arr.shape[0] > 0
+        if (fits and n_spatial > 1 and arr.ndim == 4
+                and arr.shape[1] % n_spatial == 0
+                and any(getattr(p, "key", "") in SPATIAL_KEYS for p in path)):
+            return jax.device_put(x, spatial_s)
         return jax.device_put(x, sharded if fits else replicated_s)
 
-    return jax.tree.map(put, batch)
+    return jax.tree_util.tree_map_with_path(put, batch)
 
 
 def replicate(tree: Any, mesh: Mesh) -> Any:

@@ -55,7 +55,8 @@ class Trainer:
         self.dataset_val = dataset_val
         self.output_dir = output_dir
         self.logger = logger or logging.getLogger("cfd3d.trainer")
-        self.mesh = make_mesh(config.TPU.MESH_DATA, config.TPU.MESH_MODEL)
+        self.mesh = make_mesh(config.TPU.MESH_DATA, config.TPU.MESH_MODEL,
+                              config.TPU.get("MESH_SPATIAL", 1))
         self.health = DeviceHealthMonitor(logger=self.logger)
         from ..utils.metrics_logger import MetricsLogger
 
