@@ -26,7 +26,8 @@ def parse_args(argv=None):
     p = argparse.ArgumentParser(description="CenterFusionDetect3D-TPU demo")
     p.add_argument("--cfg", default=None)
     p.add_argument("--split", default="mini_val")
-    p.add_argument("--load", default="", help="orbax checkpoint dir")
+    p.add_argument("--load", default="",
+                   help="orbax checkpoint dir or reference torch .pt")
     p.add_argument("--save-dir", default="", help="save mosaic frames")
     p.add_argument("--save-video", default="", help="write the mosaic stream to an mp4")
     p.add_argument("--max-samples", type=int, default=0, help="0 = all")
@@ -127,7 +128,7 @@ def main(argv=None):
 
     ds = NuScenesDataset(config, args.split)
     variables = None
-    if args.load:
+    if args.load and not args.load.endswith((".pt", ".pth")):
         from .training import load_checkpoint
 
         payload = load_checkpoint(args.load)
@@ -141,6 +142,15 @@ def main(argv=None):
         groups[info["sample_token"]].append(img_id)
     n_cams = max(len(v) for v in groups.values())
     detector = Detector(config, variables=variables, batch_size=n_cams)
+    if args.load and variables is None:
+        # reference torch checkpoint: import into the initialized trees
+        from .training import load_weights
+
+        p, s, _ = load_weights(
+            args.load, detector.variables["params"],
+            detector.variables["batch_stats"], dict(config.head_conv),
+        )
+        detector.variables = {"params": p, "batch_stats": s}
 
     if args.save_dir:
         os.makedirs(args.save_dir, exist_ok=True)

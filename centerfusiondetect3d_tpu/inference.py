@@ -22,7 +22,8 @@ def parse_args(argv=None):
     p.add_argument("--cfg", default=None, help="yaml config file")
     p.add_argument("--input", required=True,
                    help="image file, folder of images, video file, or 'webcam'")
-    p.add_argument("--load", default="", help="checkpoint to load (orbax dir)")
+    p.add_argument("--load", default="",
+                   help="checkpoint to load (orbax dir or reference torch .pt)")
     p.add_argument("--save-dir", default="", help="save annotated frames + json")
     p.add_argument("--show-attention", action="store_true",
                    help="save depth/attention-map overlays next to the frames "
@@ -97,7 +98,7 @@ def main(argv=None):
                              NuScenesDataset.default_resolution)
 
     variables = None
-    if args.load:
+    if args.load and not args.load.endswith((".pt", ".pth")):
         from .training import load_checkpoint
 
         payload = load_checkpoint(args.load)
@@ -105,6 +106,18 @@ def main(argv=None):
                      "batch_stats": payload["batch_stats"]}
 
     detector = Detector(config, variables=variables)
+    if args.load and variables is None:
+        # reference torch checkpoint: import into the initialized trees
+        from .training import load_weights
+
+        p, s, meta = load_weights(
+            args.load, detector.variables["params"],
+            detector.variables["batch_stats"], dict(config.head_conv),
+        )
+        detector.variables = {"params": p, "batch_stats": s}
+        rep = meta.get("report", {})
+        print(f"imported torch checkpoint: {len(rep.get('loaded', []))} keys "
+              f"loaded, {len(rep.get('missing', []))} missing")
     all_results = {}
     if args.save_dir:
         os.makedirs(args.save_dir, exist_ok=True)

@@ -78,16 +78,38 @@ class Trainer:
         state = create_train_state(self.config, self.model, variables)
         load_dir = self.config.MODEL.LOAD_DIR
         if load_dir:
-            if self.config.TRAIN.RESUME:
+            from ..training import is_torch_checkpoint, load_weights
+
+            if self.config.TRAIN.RESUME and not is_torch_checkpoint(load_dir):
                 state, self.start_epoch = resume_state(load_dir, state)
                 self.logger.info("resumed from %s at epoch %d", load_dir, self.start_epoch)
             else:
-                from ..training import load_checkpoint
-
-                payload = load_checkpoint(load_dir)
-                state = state.replace(
-                    params=payload["params"], batch_stats=payload["batch_stats"]
+                # native orbax dir OR a reference torch .pt file (weights +
+                # epoch + loss history; fresh optimizer either way, matching
+                # the reference's loadModel which restores only epoch,
+                # model.py:150-152)
+                p, s, meta = load_weights(
+                    load_dir, state.params, state.batch_stats,
+                    dict(self.config.head_conv),
                 )
+                state = state.replace(params=p, batch_stats=s)
+                hist = meta.get("history") or {}
+                if hist.get("train") or hist.get("val"):
+                    self.history = {"train": dict(hist.get("train", {})),
+                                    "val": dict(hist.get("val", {}))}
+                    self.logger.info(
+                        "migrated loss history: %d train / %d val heads",
+                        len(self.history["train"]), len(self.history["val"]),
+                    )
+                if self.config.TRAIN.RESUME and meta.get("epoch", -1) >= 0:
+                    self.start_epoch = meta["epoch"] + 1
+                report = meta.get("report")
+                if report:
+                    self.logger.info(
+                        "torch import: %d loaded, %d missing, %d shape-mismatched",
+                        len(report["loaded"]), len(report["missing"]),
+                        len(report["shape_mismatch"]),
+                    )
                 self.logger.info("loaded weights from %s", load_dir)
         self.state = state.replace(
             params=replicate(state.params, self.mesh),

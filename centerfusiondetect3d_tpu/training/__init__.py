@@ -23,6 +23,10 @@ from .checkpoint import (
     resume_state,
     import_torch_checkpoint,
     export_torch_state_dict,
+    migrate_reference_history,
+    is_torch_checkpoint,
+    load_torch_file,
+    load_weights,
 )
 
 __all__ += [
@@ -31,4 +35,8 @@ __all__ += [
     "resume_state",
     "import_torch_checkpoint",
     "export_torch_state_dict",
+    "migrate_reference_history",
+    "is_torch_checkpoint",
+    "load_torch_file",
+    "load_weights",
 ]

@@ -390,3 +390,82 @@ def export_torch_state_dict(params, batch_stats, head_conv=None
                 v = np.transpose(v, inverse[kind])
             out[tkey] = v
     return out
+
+
+# --------------------------------------------------------------------------
+# reference .pt checkpoint files (state_dict + loss-history migration)
+# --------------------------------------------------------------------------
+
+
+def migrate_reference_history(ckpt: Dict[str, Any]) -> Dict[str, Dict[str, list]]:
+    """Normalize a reference checkpoint's loss logs to this framework's
+    history format ``{train: {head: [per-epoch]}, val: {head: [per-eval]}}``.
+
+    Handles both reference formats: the legacy per-epoch *lists* and the
+    epoch-keyed *dicts* its ``renewCheckpoint`` migration produces
+    (/root/reference/src/lib/model/model.py:253-316) — dict logs are
+    flattened back to epoch-ordered lists, which is this framework's native
+    shape (``Trainer.history`` / ``plot_history``).
+    """
+    out: Dict[str, Dict[str, list]] = {"train": {}, "val": {}}
+    for split in ("train", "val"):
+        log = ckpt.get(split)
+        if not isinstance(log, dict):
+            continue
+        for head, values in log.items():
+            if isinstance(values, dict) and values:
+                ordered = sorted(values.items(), key=lambda kv: float(kv[0]))
+                out[split][head] = [v for _, v in ordered]
+            elif isinstance(values, list):
+                out[split][head] = list(values)
+    return out
+
+
+def is_torch_checkpoint(path: str) -> bool:
+    """True for a reference-style torch checkpoint *file* (.pt/.pth)."""
+    return os.path.isfile(path) and path.endswith((".pt", ".pth"))
+
+
+def load_torch_file(path: str) -> Dict[str, Any]:
+    """``torch.load`` a reference checkpoint (.pt/.pth).
+
+    Accepts both a full reference checkpoint dict ({state_dict, epoch,
+    train/val loss logs, ...} as written by its saveModel,
+    /root/reference/src/lib/utils/utils.py:197-218) and a bare state_dict.
+    Returns {"state_dict", "epoch", "history"} with the loss history
+    migrated via :func:`migrate_reference_history`.
+    """
+    import torch
+
+    ckpt = torch.load(path, map_location="cpu", weights_only=False)
+    if isinstance(ckpt, dict) and "state_dict" in ckpt:
+        return {
+            "state_dict": ckpt["state_dict"],
+            "epoch": int(ckpt.get("epoch", -1)),
+            "history": migrate_reference_history(ckpt),
+        }
+    return {"state_dict": ckpt, "epoch": -1,
+            "history": {"train": {}, "val": {}}}
+
+
+def load_weights(path: str, params, batch_stats, head_conv=None):
+    """Load weights from a native orbax directory OR a reference torch file,
+    dispatching on the path (the reference's ``loadModel`` ergonomics:
+    ``MODEL.LOAD_DIR`` points at either format).
+
+    Returns ``(params, batch_stats, meta)`` with
+    ``meta = {"epoch", "history"[, "report"]}`` — "report" (loaded /
+    missing / shape_mismatch keys) only for torch files.
+    """
+    if is_torch_checkpoint(path):
+        payload = load_torch_file(path)
+        p, s, report = import_torch_checkpoint(
+            payload["state_dict"], params, batch_stats, head_conv
+        )
+        return p, s, {"epoch": payload["epoch"],
+                      "history": payload["history"], "report": report}
+    payload = load_checkpoint(path)
+    return payload["params"], payload["batch_stats"], {
+        "epoch": int(payload.get("epoch", -1)),
+        "history": payload.get("history") or {"train": {}, "val": {}},
+    }

@@ -226,3 +226,131 @@ def test_resume_optimizer_mismatch_falls_back(tmp_path, model_setup):
         warnings.simplefilter("always")
         restored, _ = resume_state(path, sgd_state)
     assert any("opt_state" in str(w.message) for w in caught)
+
+
+def test_migrate_reference_history():
+    """renewCheckpoint analogue: legacy list logs and epoch-keyed dict logs
+    (both reference formats, model.py:253-316) normalize to ordered lists."""
+    from centerfusiondetect3d_tpu.training import migrate_reference_history
+
+    ckpt = {
+        "train": {
+            "total": [3.0, 2.0, 1.0],                # legacy list format
+            "depth": {2: 0.2, 1: 0.1, 10: 1.0},      # epoch-keyed (scrambled)
+        },
+        "val": {"total": {5: 2.5, 10: 1.5}},
+        "state_dict": {},
+    }
+    hist = migrate_reference_history(ckpt)
+    assert hist["train"]["total"] == [3.0, 2.0, 1.0]
+    assert hist["train"]["depth"] == [0.1, 0.2, 1.0]
+    assert hist["val"]["total"] == [2.5, 1.5]
+    assert migrate_reference_history({"state_dict": {}}) == {
+        "train": {}, "val": {}}
+
+
+def test_load_weights_from_torch_file(tmp_path, model_setup):
+    """MODEL.LOAD_DIR pointed at a reference .pt: weights import, epoch and
+    loss history migrate (reference saveModel dict, utils/utils.py:197-218)."""
+    import torch
+
+    from centerfusiondetect3d_tpu.training import load_weights
+
+    cfg, model, variables = model_setup
+    head_conv = dict(cfg.head_conv)
+    sd = export_torch_state_dict(
+        variables["params"], variables["batch_stats"], head_conv
+    )
+    rng = np.random.RandomState(3)
+    sd = {k: torch.from_numpy(rng.randn(*v.shape).astype(np.float32))
+          for k, v in sd.items()}
+    ckpt = {
+        "state_dict": sd,
+        "epoch": 42,
+        "train": {"total": [5.0, 4.0]},
+        "val": {"total": {2: 4.5}},
+        "memory": [1.0],
+    }
+    path = str(tmp_path / "model_42.pt")
+    torch.save(ckpt, path)
+
+    zeros_p = jax.tree.map(lambda x: np.zeros_like(np.asarray(x)),
+                           variables["params"])
+    zeros_s = jax.tree.map(lambda x: np.zeros_like(np.asarray(x)),
+                           variables["batch_stats"])
+    p, s, meta = load_weights(path, zeros_p, zeros_s, head_conv)
+    assert meta["epoch"] == 42
+    assert meta["history"]["train"]["total"] == [5.0, 4.0]
+    assert meta["history"]["val"]["total"] == [4.5]
+    assert not meta["report"]["missing"]
+    # a randomized torch tensor actually landed in the flax tree
+    k = np.asarray(p["detect_head_0"]["heatmap"]["tower_0"]["kernel"])
+    assert np.abs(k).max() > 0
+
+
+def test_load_weights_bare_state_dict(tmp_path, model_setup):
+    """A raw state_dict .pt (no wrapper dict) also loads."""
+    import torch
+
+    from centerfusiondetect3d_tpu.training import load_weights
+
+    cfg, model, variables = model_setup
+    head_conv = dict(cfg.head_conv)
+    sd = export_torch_state_dict(
+        variables["params"], variables["batch_stats"], head_conv
+    )
+    sd = {k: torch.from_numpy(np.asarray(v)) for k, v in sd.items()}
+    path = str(tmp_path / "bare.pth")
+    torch.save(sd, path)
+    p, s, meta = load_weights(path, variables["params"],
+                              variables["batch_stats"], head_conv)
+    assert meta["epoch"] == -1
+    assert not meta["report"]["missing"]
+
+
+@pytest.mark.slow
+def test_trainer_resumes_from_reference_pt(tmp_path, model_setup):
+    """Trainer with MODEL.LOAD_DIR = a reference .pt: weights import, the
+    loss history migrates into Trainer.history, RESUME restores the epoch
+    (reference loadModel restores only epoch, model.py:150-152)."""
+    import torch
+
+    from centerfusiondetect3d_tpu.runtime.fit import Trainer
+
+    cfg, model, variables = model_setup
+    head_conv = dict(cfg.head_conv)
+    sd = export_torch_state_dict(
+        variables["params"], variables["batch_stats"], head_conv
+    )
+    sd = {k: torch.from_numpy(np.asarray(v)) for k, v in sd.items()}
+    ckpt = {"state_dict": sd, "epoch": 9,
+            "train": {"total": [3.0, 2.0]}, "val": {"total": {2: 2.5}}}
+    path = str(tmp_path / "model_9.pt")
+    torch.save(ckpt, path)
+
+    cfg2 = load_config(
+        opts=["MODEL.INPUT_SIZE", "(64, 64)", "MODEL.DLA.NODE", "DeformConv",
+              "MIXED_PRECISION", "False",
+              "MODEL.LOAD_DIR", path, "TRAIN.RESUME", "True"],
+        num_classes=10,
+    )
+    trainer = Trainer(cfg2, model, output_dir=str(tmp_path / "out"))
+    oh, ow = cfg2.MODEL.OUTPUT_SIZE
+    rng = np.random.RandomState(0)
+    sample = {
+        "image": rng.randn(1, 64, 64, 3).astype(np.float32),
+        "pc_hm": np.abs(rng.randn(1, oh, ow, 3)).astype(np.float32),
+        "pc_dep": np.abs(rng.randn(1, oh, ow, 3)).astype(np.float32),
+        "calib": np.array(
+            [[[120.0, 0, ow / 2, 0], [0, 120.0, oh / 2, 0], [0, 0, 1, 0]]],
+            np.float32),
+    }
+    state = trainer.init_state(sample)
+    assert trainer.start_epoch == 10
+    assert trainer.history["train"]["total"] == [3.0, 2.0]
+    assert trainer.history["val"]["total"] == [2.5]
+    got = np.asarray(
+        jax.tree.leaves(state.params)[0].addressable_data(0)
+    )
+    want = np.asarray(jax.tree.leaves(variables["params"])[0])
+    assert got.shape == want.shape
