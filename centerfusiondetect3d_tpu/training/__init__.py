@@ -27,6 +27,7 @@ from .checkpoint import (
     is_torch_checkpoint,
     load_torch_file,
     load_weights,
+    export_torch_checkpoint,
 )
 
 __all__ += [
@@ -39,4 +40,5 @@ __all__ += [
     "is_torch_checkpoint",
     "load_torch_file",
     "load_weights",
+    "export_torch_checkpoint",
 ]

@@ -469,3 +469,33 @@ def load_weights(path: str, params, batch_stats, head_conv=None):
         "epoch": int(payload.get("epoch", -1)),
         "history": payload.get("history") or {"train": {}, "val": {}},
     }
+
+
+def export_torch_checkpoint(path: str, params, batch_stats, *, epoch: int = -1,
+                            history=None, head_conv=None,
+                            extra: Dict[str, Any] = None) -> str:
+    """Write a FULL reference-format checkpoint file (torch.save dict:
+    {state_dict, epoch, train, val, ...} as the reference's saveModel emits,
+    /root/reference/src/lib/utils/utils.py:197-218) so reference tooling —
+    its loadModel, plotters, wandb resubmission — can consume a model
+    trained here. Loss history is written in the reference's current
+    epoch-keyed dict format (the post-renewCheckpoint shape).
+    """
+    import torch
+
+    # np.array(..., copy=True): jax-backed buffers are read-only and torch
+    # tensors must own writable memory
+    sd = {k: torch.from_numpy(np.array(v, copy=True))
+          for k, v in export_torch_state_dict(params, batch_stats,
+                                              head_conv).items()}
+    ckpt: Dict[str, Any] = {"state_dict": sd, "epoch": int(epoch)}
+    history = history or {}
+    for split in ("train", "val"):
+        log = history.get(split) or {}
+        ckpt[split] = {
+            head: {i + 1: float(v) for i, v in enumerate(values)}
+            for head, values in log.items()
+        }
+    ckpt.update(extra or {})
+    torch.save(ckpt, path)
+    return path

@@ -354,3 +354,39 @@ def test_trainer_resumes_from_reference_pt(tmp_path, model_setup):
     )
     want = np.asarray(jax.tree.leaves(variables["params"])[0])
     assert got.shape == want.shape
+
+
+def test_export_torch_checkpoint_roundtrip(tmp_path, model_setup):
+    """Full reference-format .pt export (saveModel dict shape,
+    utils/utils.py:197-218) loads back through load_weights unchanged."""
+    from centerfusiondetect3d_tpu.training import (
+        export_torch_checkpoint,
+        load_weights,
+    )
+
+    cfg, model, variables = model_setup
+    head_conv = dict(cfg.head_conv)
+    path = export_torch_checkpoint(
+        str(tmp_path / "export.pt"), variables["params"],
+        variables["batch_stats"], epoch=12,
+        history={"train": {"total": [2.0, 1.0]}, "val": {"total": [1.5]}},
+        head_conv=head_conv, extra={"wandb_id": "run-abc"},
+    )
+    import torch
+
+    raw = torch.load(path, map_location="cpu", weights_only=False)
+    # reference dict shape: epoch-keyed loss dicts + passthrough extras
+    assert raw["epoch"] == 12
+    assert raw["train"]["total"] == {1: 2.0, 2: 1.0}
+    assert raw["wandb_id"] == "run-abc"
+
+    zeros_p = jax.tree.map(lambda x: np.zeros_like(np.asarray(x)),
+                           variables["params"])
+    zeros_s = jax.tree.map(lambda x: np.zeros_like(np.asarray(x)),
+                           variables["batch_stats"])
+    p, s, meta = load_weights(path, zeros_p, zeros_s, head_conv)
+    assert meta["epoch"] == 12
+    assert meta["history"]["train"]["total"] == [2.0, 1.0]
+    assert not meta["report"]["missing"]
+    for a, b_ in zip(jax.tree.leaves(p), jax.tree.leaves(variables["params"])):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b_))
