@@ -1,3 +1,5 @@
+import os
+
 import numpy as np
 import jax
 import jax.numpy as jnp
@@ -390,3 +392,48 @@ def test_export_torch_checkpoint_roundtrip(tmp_path, model_setup):
     assert not meta["report"]["missing"]
     for a, b_ in zip(jax.tree.leaves(p), jax.tree.leaves(variables["params"])):
         np.testing.assert_array_equal(np.asarray(a), np.asarray(b_))
+
+
+@pytest.mark.slow
+def test_ckpt_convert_cli_roundtrip(tmp_path, model_setup):
+    """cfd3d-ckpt to-native / to-torch: a reference .pt converts to a native
+    orbax dir (epoch + history intact) and back to a loadable .pt."""
+    import torch
+
+    from centerfusiondetect3d_tpu import tools
+    from centerfusiondetect3d_tpu.training import load_torch_file
+
+    cfg, model, variables = model_setup
+    head_conv = dict(cfg.head_conv)
+    sd = export_torch_state_dict(
+        variables["params"], variables["batch_stats"], head_conv
+    )
+    src = str(tmp_path / "ref.pt")
+    torch.save({"state_dict": {k: torch.from_numpy(np.array(v)) for k, v in sd.items()},
+                "epoch": 6, "train": {"total": [1.0, 0.5]}, "val": {}}, src)
+
+    native = str(tmp_path / "native")
+    rc = tools.main(["to-native", src, "--out", native,
+                     "MODEL.INPUT_SIZE", "(64, 64)",
+                     "MODEL.DLA.NODE", "DeformConv",
+                     "MIXED_PRECISION", "False"])
+    assert rc == 0
+    payload = load_checkpoint(os.path.join(native, "model_6"))
+    assert int(payload["epoch"]) == 6
+    assert list(payload["history"]["train"]["total"]) == [1.0, 0.5]
+    np.testing.assert_allclose(
+        np.asarray(payload["params"]["detect_head_0"]["heatmap"]["tower_0"]["kernel"]),
+        np.asarray(variables["params"]["detect_head_0"]["heatmap"]["tower_0"]["kernel"]),
+    )
+
+    back = str(tmp_path / "back.pt")
+    rc = tools.main(["to-torch", os.path.join(native, "model_6"), "--out", back,
+                     "MODEL.INPUT_SIZE", "(64, 64)",
+                     "MODEL.DLA.NODE", "DeformConv",
+                     "MIXED_PRECISION", "False"])
+    assert rc == 0
+    again = load_torch_file(back)
+    assert again["epoch"] == 6
+    for k, v in sd.items():
+        got = again["state_dict"][k].numpy()
+        np.testing.assert_allclose(got, np.asarray(v), atol=0, rtol=0)
