@@ -19,7 +19,8 @@ from centerfusiondetect3d_tpu.training import create_train_state, make_train_ste
 
 cfg = load_config(opts=["MODEL.INPUT_SIZE", "(448, 800)",
                         "MODEL.DLA.NODE", "DeformConv",
-                        "TRAIN.BATCH_SIZE", "8"], num_classes=10)
+                        "TRAIN.BATCH_SIZE", "8"] + sys.argv[1:],
+                  num_classes=10)
 model = build_model(cfg)
 loss_fn = GenericLoss(cfg)
 rng = np.random.RandomState(0)

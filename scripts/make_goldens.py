@@ -105,6 +105,58 @@ def install_stubs():
         tv.__stub__ = True
         _stub("torchvision.ops", deform_conv2d=_tv_deform_conv2d)
 
+        class _TvNoop:
+            """transforms placeholder: only instantiated in __init__ paths
+            the generators bypass (dataset instances via __new__)."""
+
+            def __init__(self, *a, **k):
+                pass
+
+            def __call__(self, x):
+                return x
+
+        _stub(
+            "torchvision.transforms",
+            ColorJitter=_TvNoop, Normalize=_TvNoop, Lambda=_TvNoop,
+            Compose=_TvNoop, RandomOrder=_TvNoop, ToTensor=_TvNoop,
+        )
+
+    try:
+        import pycocotools  # noqa: F401
+    except ImportError:
+        # generic_dataset imports pycocotools.coco at module scope; only
+        # __init__ (bypassed via __new__) ever constructs COCO
+        _stub("pycocotools")
+        _stub("pycocotools.coco", COCO=object)
+
+    # dataset/datasets/nuscenes.py module-scope devkit imports (none are
+    # executed by the generators, which drive addInstance/processPointCloud)
+    _stub("nuscenes.nuscenes", NuScenes=object)
+    _stub(
+        "nuscenes.utils.geometry_utils",
+        view_points=lambda *a, **k: None,
+        transform_matrix=lambda *a, **k: None,
+        BoxVisibility=object,
+    )
+    sys.modules["nuscenes.utils.data_classes"].Box = object
+    _stub("nuscenes.eval")
+    _stub("nuscenes.eval.common")
+    _stub("nuscenes.eval.common.data_classes", EvalBoxes=object)
+    _stub("nuscenes.eval.detection")
+    _stub("nuscenes.eval.detection.data_classes", DetectionBox=object)
+    _stub(
+        "nuscenes.eval.common.loaders",
+        load_gt=lambda *a, **k: None,
+        add_center_dist=lambda *a, **k: None,
+        filter_eval_boxes=lambda *a, **k: None,
+    )
+    _stub("nuscenes.eval.detection.render",
+          visualize_sample=lambda *a, **k: None)
+    _stub("nuscenes.eval.common.config",
+          config_factory=lambda *a, **k: None)
+    _stub("nuscenes.eval.detection.utils",
+          category_to_detection_name=lambda *a, **k: None)
+
 
 def gen_decode(torch, out_dir):
     from model.decode import fusionDecode
@@ -514,6 +566,441 @@ def gen_frustum(torch, out_dir):
     print(f"wrote frustum_cases.npz ({len(cases)} cases)")
 
 
+def gen_geometry(torch, out_dir):
+    """2D/3D geometry goldens by EXECUTING the reference ``utils/image.py``
+    and ``utils/ddd.py`` (+ ``pointcloud.get_alpha/cvtAlphaToYaw``) — pure
+    numpy/cv2/torch, so they generate in-image. Pins the affine 3-point
+    construction (incl. rotation/shift/inverse), point transforms, the
+    CornerNet radius quadratics, circular AND elliptical gaussian splats
+    (with border clipping), 3D box corners, projection/unprojection, and the
+    alpha<->yaw conversions."""
+    from utils.image import (
+        getAffineTransform,
+        affineTransform,
+        getGaussianRadius,
+        drawGaussianHeatRegion,
+    )
+    from utils import ddd
+    import utils.pointcloud as pc
+
+    rs = np.random.RandomState(11)
+    blob = {}
+
+    # ---- affine matrices: (center, scale(2,), rot deg, out (w,h), shift,
+    # inverse) including rotation, anisotropic scale, shift and inverse
+    cases = [
+        ([800.0, 450.0], [1600.0, 1600.0], 0.0, [200, 112], [0.0, 0.0], 0),
+        ([800.0, 450.0], [1600.0, 900.0], 0.0, [800, 448], [0.0, 0.0], 0),
+        ([812.3, 430.7], [1531.9, 1531.9], 0.0, [200, 112], [0.0, 0.0], 0),
+        ([800.0, 450.0], [1600.0, 1600.0], 0.0, [200, 112], [0.0, 0.0], 1),
+        ([640.0, 360.0], [1280.0, 1280.0], 7.5, [160, 96], [0.0, 0.0], 0),
+        ([640.0, 360.0], [1280.0, 1280.0], -13.0, [160, 96], [0.0, 0.0], 1),
+        ([512.0, 300.0], [1024.0, 512.0], 0.0, [128, 64], [0.1, -0.05], 0),
+        ([512.0, 300.0], [900.0, 900.0], 30.0, [100, 56], [-0.2, 0.15], 1),
+    ]
+    mats = [
+        getAffineTransform(np.array(c, np.float32), np.array(s, np.float32),
+                           r, o, shift=np.array(sh, np.float32),
+                           inverse=bool(inv))
+        for c, s, r, o, sh, inv in cases
+    ]
+    blob["affine_centers"] = np.array([c[0] for c in cases], np.float32)
+    blob["affine_scales"] = np.array([c[1] for c in cases], np.float32)
+    blob["affine_rots"] = np.array([c[2] for c in cases], np.float32)
+    blob["affine_outs"] = np.array([c[3] for c in cases], np.int64)
+    blob["affine_shifts"] = np.array([c[4] for c in cases], np.float32)
+    blob["affine_inv"] = np.array([c[5] for c in cases], np.int64)
+    blob["affine_mats"] = np.stack(mats)
+    # scalar-scale path (reference wraps scalars itself)
+    blob["affine_scalar_mat"] = getAffineTransform(
+        np.array([800.0, 450.0], np.float32), 1600.0, 0.0, [200, 112]
+    )
+
+    # ---- point transform through each matrix (numpy and torch paths)
+    pts = (rs.rand(17, 2) * np.array([1600, 900])).astype(np.float32)
+    blob["points"] = pts
+    blob["points_out"] = np.stack(
+        [affineTransform(pts.copy(), m.astype(np.float32)) for m in mats]
+    )
+    blob["points_out_torch"] = np.stack(
+        [affineTransform(torch.from_numpy(pts.copy()),
+                         m.astype(np.float32)).numpy() for m in mats]
+    )
+
+    # ---- CornerNet gaussian radius
+    det_sizes = np.array(
+        [[24.0, 24.0], [3.0, 50.0], [50.0, 3.0], [1.0, 1.0], [112.0, 200.0],
+         [7.3, 12.9], [0.4, 0.8]], np.float32)
+    overlaps = np.array([0.7, 0.7, 0.3, 0.9, 0.5, 0.7, 0.7], np.float32)
+    blob["radius_det_sizes"] = det_sizes
+    blob["radius_overlaps"] = overlaps
+    blob["radius_out"] = np.array(
+        [getGaussianRadius((h_, w_), ov)
+         for (h_, w_), ov in zip(det_sizes, overlaps)], np.float64)
+
+    # ---- gaussian splats: circular ints (border clipping + overwrite-max)
+    H, W = 20, 32
+    circ = np.zeros((H, W), np.float32)
+    circ_cases = [  # (cx, cy, radius, k)
+        (10.0, 8.0, 3, 1.0),
+        (11.5, 8.9, 2, 1.0),     # int-cast center
+        (0.0, 0.0, 4, 1.0),      # top-left clip
+        (31.0, 19.0, 5, 1.0),    # bottom-right clip
+        (30.9, 3.2, 0, 1.0),     # radius 0
+        (15.0, 15.0, 6, 0.5),    # k scaling
+    ]
+    for cx, cy, r, k in circ_cases:
+        drawGaussianHeatRegion(circ, np.array([cx, cy], np.float32), int(r),
+                               k=k)
+    blob["circ_cases"] = np.array(circ_cases, np.float32)
+    blob["circ_out"] = circ
+    # elliptical (tuple radius — MonoFlex out-of-view path)
+    ellip = np.zeros((H, W), np.float32)
+    ellip_cases = [
+        (6.0, 6.0, 4, 2, 1.0),
+        (0.0, 10.0, 3, 5, 1.0),   # left-edge clip
+        (31.0, 0.0, 2, 4, 1.0),   # corner clip
+        (20.0, 12.0, 5, 1, 1.0),
+    ]
+    for cx, cy, rx, ry, k in ellip_cases:
+        drawGaussianHeatRegion(ellip, np.array([cx, cy], np.float32),
+                               (int(rx), int(ry)), k=k)
+    blob["ellip_cases"] = np.array(ellip_cases, np.float32)
+    blob["ellip_out"] = ellip
+
+    # ---- 3D geometry (ddd.py)
+    B, K = 2, 6
+    dim = (np.abs(rs.randn(B, K, 3)) + 0.4).astype(np.float32)
+    loc = (rs.randn(B, K, 3) * np.array([8, 1.5, 20]) +
+           np.array([0, 1, 30])).astype(np.float32)
+    yaw = (rs.rand(B, K) * 2 * np.pi - np.pi).astype(np.float32)
+    corners = ddd.get3dBox(dim, loc, yaw)  # (B, K, 8, 3) numpy
+    blob["ddd_dim"], blob["ddd_loc"], blob["ddd_yaw"] = dim, loc, yaw
+    blob["ddd_corners"] = corners.astype(np.float32)
+
+    calib = np.tile(
+        np.array([[1266.4, 0, 816.3, 0], [0, 1266.4, 491.5, 0],
+                  [0, 0, 1, 0]], np.float32), (B, 1, 1))
+    calib_bk = np.tile(calib[:, None], (1, K, 1, 1))  # (B, K, 3, 4)
+    blob["ddd_calib"] = calib
+    blob["ddd_proj2d"] = ddd.project3DPoints(
+        corners.astype(np.float32), calib_bk).astype(np.float32)
+
+    # alpha -> rot_y with wrap cases (values near ±pi)
+    alpha = np.array([[0.1, 3.1, -3.1, 1.5, -1.5, 0.0]] * B, np.float32)
+    xs = (rs.rand(B, K) * 1600).astype(np.float32)
+    rot_y = ddd.alpha2rot_y(alpha.copy(), xs, calib_bk[:, :, 0, 2],
+                            calib_bk[:, :, 0, 0])
+    blob["ddd_alpha"], blob["ddd_xs"] = alpha, xs
+    blob["ddd_rot_y"] = rot_y
+
+    # unprojection (torch path: cvtImgToCamCoord mutates + views)
+    centers2d = (rs.rand(B, K, 2) * np.array([1600, 900])).astype(np.float32)
+    depth = (rs.rand(B, K) * 50 + 1).astype(np.float32)
+    t = torch.from_numpy
+    locs_t, yaws_t = ddd.cvtImgToCamCoord(
+        t(centers2d.copy()), t(alpha.copy()), t(dim.copy()),
+        t(depth.copy()), t(calib.copy()))
+    blob["ddd_centers2d"], blob["ddd_depth"] = centers2d, depth
+    blob["ddd_cam_locs"] = locs_t.numpy()
+    blob["ddd_cam_yaws"] = yaws_t.numpy()
+
+    # get_alpha / cvtAlphaToYaw (pointcloud.py:195-236)
+    rot8 = rs.randn(B, K, 8).astype(np.float32)
+    blob["rot8"] = rot8
+    blob["rot8_alpha"] = pc.get_alpha(t(rot8)).numpy()
+    blob["alpha_yaw"] = pc.cvtAlphaToYaw(
+        t(alpha.copy()), t(xs), t(calib_bk[:, :, 0, 2].copy()),
+        t(calib_bk[:, :, 0, 0].copy())).numpy()
+
+    np.savez(os.path.join(out_dir, "geometry.npz"), **blob)
+    print(f"wrote geometry.npz ({len(blob)} arrays)")
+
+
+def gen_postprocess(torch, out_dir):
+    """postProcess goldens by EXECUTING the reference
+    (/root/reference/src/lib/utils/postProcess.py:13-85) on seeded
+    decode-style outputs: inverse-affine box/center mapping, 8-bin alpha,
+    amodal-center vs bbox-mean center paths, unprojection, yaw-aligned
+    velocity, 3D corners with non-positive-dimension zeroing, and the
+    ``isGt`` branch."""
+    from utils.postProcess import postProcess
+
+    rs = np.random.RandomState(31)
+    t = torch.from_numpy
+    B, K = 2, 10
+    oh, ow = 14, 25  # output plane
+    center = np.array([800.0, 450.0], np.float32)
+    scale = 1600.0
+
+    centers = rs.rand(B, K, 2).astype(np.float32)  # normalized, as decode
+    wh = (np.abs(rs.randn(B, K, 2)) * 5 + 1).astype(np.float32)
+    cxy = centers * np.array([ow, oh], np.float32)
+    bboxes = np.concatenate([cxy - wh / 2, cxy + wh / 2], -1).astype(np.float32)
+    dim = (np.abs(rs.randn(B, K, 3)) + 0.3).astype(np.float32)
+    dim[0, 3] = [0.0, 1.0, 1.0]   # non-positive dims -> bboxes3d zeroed
+    dim[1, 7] = [-0.5, 2.0, 1.0]
+    inputs = {
+        "scores": rs.rand(B, K).astype(np.float32),
+        "classIds": rs.randint(0, 10, (B, K)).astype(np.float32),
+        "centers": centers,
+        "bboxes": bboxes,
+        "depth": (rs.rand(B, K, 1) * 50 + 1).astype(np.float32),
+        "rotation": rs.randn(B, K, 8).astype(np.float32),
+        "dimension": dim,
+        "amodal_offset": rs.randn(B, K, 2).astype(np.float32),
+        "velocity": rs.randn(B, K, 3).astype(np.float32),
+        "nuscenes_att": rs.randn(B, K, 8).astype(np.float32),
+    }
+    calib = np.tile(
+        np.array([[1266.4, 0, 816.3, 0], [0, 1266.4, 491.5, 0],
+                  [0, 0, 1, 0]], np.float32), (B, 1, 1))
+
+    blob = {f"in_{k}": v for k, v in inputs.items()}
+    blob["center"], blob["scale"] = center, np.float32(scale)
+    blob["out_hw"] = np.array([oh, ow], np.int64)
+    blob["calib"] = calib
+
+    variants = [
+        ("full", dict(inputs), False),
+        # no amodal_offset: centers fall back to the bbox mean
+        ("noamodal", {k: v for k, v in inputs.items()
+                      if k != "amodal_offset"}, False),
+        ("gt", dict(inputs), True),
+    ]
+    for tag, inp, is_gt in variants:
+        y = {k: t(v.copy()) for k, v in inp.items()}
+        out = postProcess(y, center.copy(), scale, oh, ow, t(calib.copy()),
+                          isGt=is_gt)
+        for k, v in out.items():
+            blob[f"{tag}_{k}"] = v.numpy()
+    np.savez(os.path.join(out_dir, "postprocess.npz"), **blob)
+    print(f"wrote postprocess.npz ({len(blob)} arrays)")
+
+
+def _ref_nuscenes_instance(config):
+    """A reference nuScenes dataset instance WITHOUT __init__ (no data on
+    disk): class-level tables (att ranges, class ids) come from the class,
+    config/sizeThresh are injected — exactly the state addInstance and
+    processPointCloud read."""
+    from dataset.datasets.nuscenes import nuScenes
+
+    ds = nuScenes.__new__(nuScenes)
+    ds.config = config
+    ds.split = "val"
+    ds.sizeThresh = [
+        [0, 0.0018, 0.0085][l]
+        for l in range(len(config.MODEL.PYRAMID_OUT_SIZE))
+    ]
+    return ds
+
+
+def gen_radar(torch, out_dir):
+    """Radar-rasterize goldens by EXECUTING the reference
+    ``processPointCloud`` (generic_dataset.py:738-828) through the real
+    nuScenes subclass draw methods (nuscenes.py:221-294): point transform +
+    in-image filtering, then each PC_ROI_METHOD — pillars (3D pillar
+    projection via getPcPillarsSize), heatmap (depth-scaled gaussian-radius
+    boxes), points (single-pixel scatter) — plus a one-hot pillars case."""
+    from config import config
+
+    rs = np.random.RandomState(47)
+    oh, ow = 24, 40
+    ih, iw = 96, 160
+    config.defrost()
+    config.DEBUG = 0
+    config.MODEL.OUTPUT_SIZE = (oh, ow)
+    config.MODEL.INPUT_SIZE = (ih, iw)
+    config.MODEL.PYRAMID_OUT_SIZE = [(oh, ow)]
+    config.DATASET.PILLAR_DIMS = (1.5, 0.2, 0.2)
+    config.DATASET.MAX_PC_DIST = 60.0
+
+    # camera-frame 3D radar points; pc_2d from projecting through the calib
+    n = 40
+    calib = np.array([[400.0, 0, 800.0, 0], [0, 400.0, 450.0, 0],
+                      [0, 0, 1, 0]], np.float32)
+    z = rs.uniform(2.0, 58.0, n)
+    x3 = rs.uniform(-1.8, 1.8, n) * z / 2
+    y3 = rs.uniform(0.2, 1.8, n)
+    pc_3d = np.zeros((18, n), np.float32)
+    pc_3d[0], pc_3d[1], pc_3d[2] = x3, y3, z
+    pc_3d[8], pc_3d[9] = rs.randn(n), rs.randn(n)  # vx, vz (comp. velocities)
+    px = calib[0, 0] * x3 / z + calib[0, 2]
+    py = calib[1, 1] * y3 / z + calib[1, 2]
+    pc_2d = np.stack([px, py, z]).astype(np.float32)
+
+    from utils.image import getAffineTransform
+
+    center = np.array([800.0, 450.0], np.float32)
+    scale = 1600.0
+    trans_in = getAffineTransform(center, scale, 0, [iw, ih]).astype(
+        np.float32)
+    trans_out = getAffineTransform(center, scale, 0, [ow, oh]).astype(
+        np.float32)
+    img = np.zeros((900, 1600, 3), np.uint8)
+    img_info = {"calib": calib.tolist()}
+
+    blob = {"pc_2d": pc_2d, "pc_3d": pc_3d, "calib": calib,
+            "trans_in": trans_in, "trans_out": trans_out,
+            "meta": np.array([oh, ow, 60.0], np.float64)}
+    for method, onehot, maxdist in [("pillars", False, 60.0),
+                                    ("heatmap", False, 60.0),
+                                    ("points", False, 60.0),
+                                    ("pillars", True, 10.0)]:
+        config.DATASET.PC_ROI_METHOD = method
+        config.DATASET.ONE_HOT_PC = onehot
+        config.DATASET.MAX_PC_DIST = maxdist
+        ds = _ref_nuscenes_instance(config)
+        # loadRadarPointCloud filters to <= MAX_PC_DIST before rasterizing
+        # (nuscenes.py:160-165); replicate that upstream filter here
+        keep = pc_3d[2] <= maxdist
+        pts, p3d, depth_map = ds.processPointCloud(
+            pc_2d[:, keep].copy(), pc_3d[:, keep].copy(), img, trans_in,
+            trans_out, img_info)
+        tag = f"{method}{'_onehot' if onehot else ''}"
+        blob[f"{tag}_points"] = pts
+        blob[f"{tag}_pc3d"] = p3d
+        blob[f"{tag}_depthmap"] = depth_map
+        blob[f"{tag}_maxdist"] = np.float64(maxdist)
+    np.savez(os.path.join(out_dir, "radar_raster.npz"), **blob)
+    print(f"wrote radar_raster.npz ({len(blob)} arrays)")
+
+
+def gen_targets(torch, out_dir):
+    """Target-builder goldens by EXECUTING the reference ``initReturn`` +
+    ``transformBbox`` + ``addInstance`` (generic_dataset.py:441-708) on
+    crafted annotations: layer assignment by bbox area, circular vs
+    elliptical (out-of-view amodal) heatmap splats, truncation, 8-bin
+    rotation at the bin boundaries, attribute/velocity masks and sentinels,
+    NORM_2D, depth scale-factor, 3D GT corners, and the train-time
+    GT-frustum pc_hm painting."""
+    from config import config
+
+    heads = {"heatmap": 10, "reg": 2, "widthHeight": 2, "depth": 1,
+             "rotation": 8, "dimension": 3, "amodal_offset": 2,
+             "nuscenes_att": 8, "velocity": 3, "depth2": 1, "rotation2": 8}
+    oh, ow = 24, 40
+    calib = np.array([[400.0, 0, 800.0, 0], [0, 400.0, 450.0, 0],
+                      [0, 0, 1, 0]], np.float32)
+    from utils.image import getAffineTransform
+
+    center = np.array([800.0, 450.0], np.float32)
+    scale = 1600.0
+    rs = np.random.RandomState(53)
+
+    def make_anns():
+        pi = np.pi
+        anns = [
+            # ordinary interior object, all fields
+            dict(bbox=[700, 380, 180, 140], truncated=0,
+                 amodal_center=[790, 450], attributes=6,
+                 velocity_cam=[3.0, 0.1, -1.5, 0.0], alpha=0.4,
+                 depth=22.0, dimension=[1.6, 1.9, 4.2],
+                 location=[2.0, 1.0, 22.0], yaw=0.5),
+            # amodal center far outside -> clipped -> elliptical splat
+            dict(bbox=[1450, 400, 300, 200], truncated=1,
+                 amodal_center=[1750, 500], attributes=3,
+                 velocity_cam=[0.5, 0.0, 0.2, 0.0], alpha=-2.0,
+                 depth=15.0, dimension=[1.7, 0.6, 0.8],
+                 location=[8.0, 1.2, 15.0], yaw=-1.8),
+            # sentinel velocity (skipped), attribute 0 (skipped)
+            dict(bbox=[100, 500, 90, 70], truncated=0,
+                 amodal_center=[150, 530], attributes=0,
+                 velocity_cam=[-10000.0, -10000.0, -10000.0, 0.0],
+                 alpha=pi / 6.0, depth=40.0, dimension=[1.5, 1.8, 4.0],
+                 location=[-12.0, 1.5, 40.0], yaw=2.9),
+            # alpha in the overlap region (both bins active)
+            dict(bbox=[400, 420, 260, 200], truncated=0,
+                 amodal_center=[520, 510], attributes=7,
+                 velocity_cam=[0.0, 0.0, 0.0, 0.0], alpha=0.0,
+                 depth=9.0, dimension=[1.4, 1.7, 3.8],
+                 location=[-4.0, 1.1, 9.0], yaw=-0.2),
+            # tiny far box (layer-0 in the 2-layer config), alpha near -pi
+            dict(bbox=[820, 440, 22, 18], truncated=0,
+                 amodal_center=[831, 449], attributes=1,
+                 velocity_cam=[1.0, 0.0, 1.0, 0.0], alpha=-3.0,
+                 depth=55.0, dimension=[1.0, 0.4, 1.9],
+                 location=[1.5, 0.9, 55.0], yaw=1.0),
+            # no amodal_center key -> 2d heatCenter path
+            dict(bbox=[1000, 300, 140, 260], truncated=0, attributes=4,
+                 velocity_cam=[0.2, 0.0, -0.2, 0.0], alpha=2.8,
+                 depth=18.0, dimension=[1.8, 0.7, 0.9],
+                 location=[5.0, 1.3, 18.0], yaw=0.9),
+            # degenerate box after transform (zero width) -> skipped
+            dict(bbox=[-50, 200, 1, 300], truncated=0,
+                 amodal_center=[-40, 350], attributes=2,
+                 velocity_cam=[0.0, 0.0, 0.0, 0.0], alpha=1.0,
+                 depth=30.0, dimension=[1.2, 0.5, 1.8],
+                 location=[-20.0, 1.0, 30.0], yaw=0.1),
+            # huge near box (upper layer in the 2-layer config)
+            dict(bbox=[200, 100, 1100, 750], truncated=0,
+                 amodal_center=[750, 480], attributes=8,
+                 velocity_cam=[-2.0, 0.0, 4.0, 0.0], alpha=-pi / 2,
+                 depth=4.0, dimension=[3.2, 2.5, 10.0],
+                 location=[0.0, 1.8, 4.0], yaw=-1.6),
+        ]
+        return anns
+
+    blob = {"calib": calib, "out_hw": np.array([oh, ow], np.int64)}
+    configs = [
+        ("single", [(oh, ow)], False, "3d", True, 1.0),
+        ("pyramid", [(oh, ow), (oh * 2, ow * 2)], True, "2d", False, 1.2),
+    ]
+    for tag, pyramid, norm2d, hm_rep, frustum, scale_factor in configs:
+        config.defrost()
+        config.DEBUG = 0
+        config.heads = dict(heads)
+        config.MODEL.OUTPUT_SIZE = (oh, ow)
+        config.MODEL.PYRAMID_OUT_SIZE = [list(p) for p in pyramid]
+        config.MODEL.NORM_2D = norm2d
+        config.MODEL.FRUSTUM = frustum
+        config.DATASET.HEATMAP_REP = hm_rep
+        config.DATASET.RADAR_PC = frustum
+        config.DATASET.MAX_PC_DIST = 60.0
+        ds = _ref_nuscenes_instance(config)
+        ds.max_objs = 16
+        ds.num_categories = 10
+
+        trans_out = getAffineTransform(center, scale, 0, [ow, oh]).astype(
+            np.float32)
+        item, target = {"calib": calib.copy()}, {}
+        if frustum:
+            pc_dep = np.zeros((3, oh, ow), np.float32)
+            nz = 60
+            ys_, xs_ = rs.randint(0, oh, nz), rs.randint(0, ow, nz)
+            pc_dep[0, ys_, xs_] = rs.uniform(1.0, 60.0, nz)
+            pc_dep[1, ys_, xs_] = rs.randn(nz)
+            pc_dep[2, ys_, xs_] = rs.randn(nz)
+            item["pc_dep"] = pc_dep
+            item["pc_hm"] = np.zeros((3, oh, ow), np.float32)
+            blob[f"{tag}_pc_dep"] = pc_dep.copy()
+        ds.initReturn(item, target)
+        anns = make_anns()
+        for i, ann in enumerate(anns):
+            class_id = (i % 10)
+            bbox = ds.transformBbox(ann["bbox"], trans_out)
+            blob[f"{tag}_bbox{i}"] = bbox
+            ds.addInstance(item, target, i, class_id, bbox, ann, trans_out,
+                           scale_factor)
+        blob[f"{tag}_trans_out"] = trans_out
+        blob[f"{tag}_scale_factor"] = np.float64(scale_factor)
+        blob[f"{tag}_class_ids"] = np.array(
+            [i % 10 for i in range(len(anns))], np.int64)
+        for k, v in item.items():
+            if isinstance(v, np.ndarray):
+                blob[f"{tag}_item_{k}"] = v
+        for k, v in target.items():
+            blob[f"{tag}_target_{k}"] = v
+    # annotations as json for the test side
+    import json as _json
+
+    blob["anns_json"] = np.frombuffer(
+        _json.dumps(make_anns()).encode(), dtype=np.uint8)
+    blob["aug_center"], blob["aug_scale"] = center, np.float32(scale)
+    np.savez(os.path.join(out_dir, "targets.npz"), **blob)
+    print(f"wrote targets.npz ({len(blob)} arrays)")
+
+
 def gen_model(torch, out_dir, node="Conv", fusion="middle", tag="",
               frustum=False, offset_scale=0.05, offset_bias=0.0):
     """FULL-MODEL golden: run the reference DLASeg (Conv/GlobalConv nodes —
@@ -687,6 +1174,10 @@ def main():
     gen_convbn(torch, out_dir)
     gen_dcn(torch, out_dir)
     gen_frustum(torch, out_dir)
+    gen_geometry(torch, out_dir)
+    gen_postprocess(torch, out_dir)
+    gen_radar(torch, out_dir)
+    gen_targets(torch, out_dir)
     gen_model(torch, out_dir)
     gen_model(torch, out_dir, node="GlobalConv", tag="_globalconv")
     gen_model(torch, out_dir, fusion="early", tag="_early")
