@@ -67,13 +67,19 @@ def accumulate(gt_boxes: EvalBoxes, pred_boxes: EvalBoxes, class_name: str,
     npos = sum(1 for b in gt_boxes.all if b.detection_name == class_name)
     if npos == 0:
         return {"recall": np.linspace(0, 1, N_REC), "precision": np.zeros(N_REC),
-                "confidence": np.zeros(N_REC), "npos": 0,
+                "confidence": np.zeros(N_REC), "npos": 0, "max_recall": 0.0,
                 **{m: np.ones(N_REC) for m in TP_METRICS}}
 
     preds: List = [
         b for b in pred_boxes.all if b.detection_name == class_name
     ]
-    preds.sort(key=lambda b: -b.detection_score)
+    # descending by (score, insertion index) — on exact score ties the
+    # LATER box is matched first, like the reference's
+    # ``sorted((v, i) ...)[::-1]`` (algo.py:74); a stable descending sort
+    # would flip tie order and change which GT each tied box greedily takes
+    order = [i for (v, i) in
+             sorted((b.detection_score, i) for i, b in enumerate(preds))][::-1]
+    preds = [preds[i] for i in order]
 
     taken = set()
     tp, fp, conf = [], [], []
@@ -109,7 +115,7 @@ def accumulate(gt_boxes: EvalBoxes, pred_boxes: EvalBoxes, class_name: str,
 
     if len(match_data["trans_err"]) == 0:
         return {"recall": np.linspace(0, 1, N_REC), "precision": np.zeros(N_REC),
-                "confidence": np.zeros(N_REC), "npos": npos,
+                "confidence": np.zeros(N_REC), "npos": npos, "max_recall": 0.0,
                 **{m: np.ones(N_REC) for m in TP_METRICS}}
 
     tp = np.cumsum(tp).astype(float)
@@ -124,7 +130,10 @@ def accumulate(gt_boxes: EvalBoxes, pred_boxes: EvalBoxes, class_name: str,
     confidence = np.interp(rec_interp, rec, conf, right=0)
 
     out = {"recall": rec_interp, "precision": precision, "confidence": confidence,
-           "npos": npos}
+           "npos": npos,
+           # exact achieved recall (reference algo.py:160-166 'Recall'
+           # record, the mAR.csv source) — not the interpolated curve end
+           "max_recall": float(rec[-1])}
     match_conf = np.array(match_data["conf"])
     for m in TP_METRICS:
         vals = cummean(np.array(match_data[m]))

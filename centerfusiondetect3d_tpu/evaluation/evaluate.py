@@ -94,13 +94,7 @@ def evaluate_boxes(gt_boxes: EvalBoxes, pred_boxes: EvalBoxes,
             for (cls, d), md in metric_data.items()
         }
         out["max_recall"] = {
-            cls: float(
-                metric_data[(cls, config.dist_th_tp)]["recall"][
-                    np.nonzero(metric_data[(cls, config.dist_th_tp)]["confidence"])[0].max()
-                ]
-            )
-            if np.any(metric_data[(cls, config.dist_th_tp)]["confidence"])
-            else 0.0
+            cls: float(metric_data[(cls, config.dist_th_tp)]["max_recall"])
             for cls in classes
         }
     return out

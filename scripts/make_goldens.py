@@ -1001,6 +1001,224 @@ def gen_targets(torch, out_dir):
     print(f"wrote targets.npz ({len(blob)} arrays)")
 
 
+def _install_eval_stubs():
+    """Faithful minimal devkit primitives so the reference's MODIFIED
+    ``nuScenes_lib/algo.py:accumulate`` executes for real. These transcribe
+    the public nuscenes-devkit definitions (eval/common/utils.py,
+    eval/detection/data_classes.py) — the code under test is the reference's
+    matching/interp/mAR logic, which imports but does not redefine them."""
+
+    def center_distance(gt_box, pred_box):
+        return np.linalg.norm(
+            np.array(pred_box.translation[:2]) - np.array(gt_box.translation[:2])
+        )
+
+    def velocity_l2(gt_box, pred_box):
+        return np.linalg.norm(
+            np.array(pred_box.velocity) - np.array(gt_box.velocity)
+        )
+
+    def scale_iou(sa, sr):
+        sa_size, sr_size = np.array(sa.size), np.array(sr.size)
+        assert all(sa_size > 0) and all(sr_size > 0)
+        inter = np.prod(np.minimum(sa_size, sr_size))
+        union = np.prod(sa_size) + np.prod(sr_size) - inter
+        return inter / union
+
+    def _quat_yaw(q):
+        w, x, y, z = q
+        return np.arctan2(2 * (x * y + w * z), 1 - 2 * (y * y + z * z))
+
+    def yaw_diff(gt_box, eval_box, period=2 * np.pi):
+        yaw_gt = _quat_yaw(gt_box.rotation)
+        yaw_est = _quat_yaw(eval_box.rotation)
+        diff = (yaw_gt - yaw_est + period / 2) % period - period / 2
+        return abs(diff)
+
+    def attr_acc(gt_box, pred_box):
+        if gt_box.attribute_name == "":
+            return np.nan
+        return float(gt_box.attribute_name == pred_box.attribute_name)
+
+    def cummean(x):
+        if sum(np.isnan(x)) == len(x):
+            return np.ones(len(x))
+        sum_vals = np.nancumsum(x.astype(float))
+        count_vals = np.cumsum(~np.isnan(x))
+        return np.divide(sum_vals, count_vals, out=np.zeros_like(sum_vals),
+                         where=count_vals > 0)
+
+    _stub(
+        "nuscenes.eval.common.utils",
+        center_distance=center_distance, scale_iou=scale_iou,
+        yaw_diff=yaw_diff, velocity_l2=velocity_l2, attr_acc=attr_acc,
+        cummean=cummean,
+    )
+
+    class DetectionMetricData:
+        nelem = 101
+
+        def __init__(self, recall, precision, confidence, trans_err, vel_err,
+                     scale_err, orient_err, attr_err):
+            self.recall, self.precision = recall, precision
+            self.confidence = confidence
+            self.trans_err, self.vel_err = trans_err, vel_err
+            self.scale_err, self.orient_err = scale_err, orient_err
+            self.attr_err = attr_err
+
+        @classmethod
+        def no_predictions(cls):
+            n = cls.nelem
+            return cls(recall=np.linspace(0, 1, n), precision=np.zeros(n),
+                       confidence=np.zeros(n), trans_err=np.ones(n),
+                       vel_err=np.ones(n), scale_err=np.ones(n),
+                       orient_err=np.ones(n), attr_err=np.ones(n))
+
+    sys.modules["nuscenes.eval.detection.data_classes"].DetectionMetricData = (
+        DetectionMetricData
+    )
+
+
+def gen_eval_accumulate(torch, out_dir):
+    """Detection-metric goldens by EXECUTING the reference's modified
+    ``accumulate`` (/root/reference/src/lib/nuScenes_lib/algo.py:21-207):
+    greedy confidence-sorted center-distance matching (incl. its score-TIE
+    ordering), 101-point precision/confidence interpolation, NaN-aware
+    TP-error resampling, the npos==0 / no-match early returns, and the exact
+    achieved-recall record used for mAR.csv."""
+    _install_eval_stubs()
+    sys.path.insert(0, "/root/reference/src/lib/nuScenes_lib")
+    import algo as ref_algo
+
+    class _Box:
+        def __init__(self, **kw):
+            self.__dict__.update(kw)
+
+    class _Boxes:
+        def __init__(self):
+            self.boxes = {}
+
+        def add(self, token, box):
+            self.boxes.setdefault(token, []).append(box)
+
+        def __getitem__(self, token):
+            return self.boxes.get(token, [])
+
+        @property
+        def all(self):
+            return [b for bs in self.boxes.values() for b in bs]
+
+        @property
+        def sample_tokens(self):
+            return list(self.boxes.keys())
+
+    rs = np.random.RandomState(61)
+    tokens = [f"s{i}" for i in range(6)]
+
+    def yaw_quat(yaw):
+        return np.array([np.cos(yaw / 2), 0.0, 0.0, np.sin(yaw / 2)],
+                        np.float64)
+
+    def rand_box(token, name, score=None, attr="", nan_vel=False):
+        vel = (np.full(2, np.nan) if nan_vel
+               else rs.randn(2).astype(np.float64))
+        return dict(
+            sample_token=token, detection_name=name,
+            translation=rs.randn(3).astype(np.float64) * np.array([20, 20, 1]),
+            size=(np.abs(rs.randn(3)) + 0.4).astype(np.float64),
+            rotation=yaw_quat(rs.uniform(-np.pi, np.pi)),
+            velocity=vel, attribute_name=attr,
+            detection_score=(float(rs.rand()) if score is None
+                             else float(score)),
+        )
+
+    gt_rows, pred_rows = [], []
+    attrs = ["vehicle.moving", "vehicle.parked", "vehicle.stopped"]
+    # cars: dense GT + preds, deliberate score ties (same score across AND
+    # within samples — pins the reference's (conf, index) tie ordering)
+    for ti, tok in enumerate(tokens):
+        for j in range(3):
+            gt_rows.append(rand_box(tok, "car", attr=attrs[j % 3]))
+    for ti, tok in enumerate(tokens):
+        for j in range(4):
+            score = 0.7 if (j < 2 and ti < 4) else None  # many exact ties
+            # half the preds carry the attr of the GT they sit near -> a
+            # mixed attr_err curve instead of a constant
+            attr = attrs[j % 3] if j % 2 == 0 else attrs[(j + 1) % 3]
+            base = rand_box(tok, "car", score=score, attr=attr)
+            # place most preds NEAR some GT so matches happen: copy a GT
+            # translation + noise
+            src = gt_rows[ti * 3 + (j % 3)]
+            base["translation"] = (np.array(src["translation"])
+                                   + rs.randn(3) * [0.8, 0.8, 0.1])
+            pred_rows.append(base)
+    # barriers: '' GT attributes (NaN attr_err), pi-period yaw
+    for tok in tokens[:3]:
+        g = rand_box(tok, "barrier", attr="", nan_vel=True)
+        gt_rows.append(g)
+        p = rand_box(tok, "barrier", attr="")
+        p["translation"] = np.array(g["translation"]) + rs.randn(3) * 0.5
+        pred_rows.append(p)
+    # traffic cones: a couple of GT, preds far away at one threshold
+    for tok in tokens[3:]:
+        g = rand_box(tok, "traffic_cone", attr="", nan_vel=True)
+        gt_rows.append(g)
+        p = rand_box(tok, "traffic_cone", attr="")
+        p["translation"] = np.array(g["translation"]) + rs.randn(3) * 2.5
+        pred_rows.append(p)
+    # bus: predictions but ZERO GT (npos==0 early return)
+    pred_rows.append(rand_box(tokens[0], "bus", attr="vehicle.moving"))
+    # truck: GT but hopeless predictions (no-match early return)
+    g = rand_box(tokens[1], "truck", attr="vehicle.parked")
+    gt_rows.append(g)
+    p = rand_box(tokens[1], "truck", attr="vehicle.parked")
+    p["translation"] = np.array(g["translation"]) + 500.0
+    pred_rows.append(p)
+
+    gt, pred = _Boxes(), _Boxes()
+    for r in gt_rows:
+        gt.add(r["sample_token"], _Box(**r))
+    for r in pred_rows:
+        pred.add(r["sample_token"], _Box(**r))
+
+    from nuscenes.eval.common.utils import center_distance
+
+    blob = {}
+
+    def pack(rows, prefix):
+        blob[f"{prefix}_token"] = np.array(
+            [r["sample_token"] for r in rows])
+        blob[f"{prefix}_name"] = np.array(
+            [r["detection_name"] for r in rows])
+        blob[f"{prefix}_attr"] = np.array(
+            [r["attribute_name"] for r in rows])
+        blob[f"{prefix}_translation"] = np.stack(
+            [r["translation"] for r in rows])
+        blob[f"{prefix}_size"] = np.stack([r["size"] for r in rows])
+        blob[f"{prefix}_rotation"] = np.stack([r["rotation"] for r in rows])
+        blob[f"{prefix}_velocity"] = np.stack([r["velocity"] for r in rows])
+        blob[f"{prefix}_score"] = np.array(
+            [r["detection_score"] for r in rows])
+
+    pack(gt_rows, "gt")
+    pack(pred_rows, "pred")
+
+    cases = [("car", 0.5), ("car", 1.0), ("car", 2.0), ("car", 4.0),
+             ("barrier", 2.0), ("traffic_cone", 1.0), ("bus", 2.0),
+             ("truck", 2.0)]
+    for cls, dist_th in cases:
+        md, add = ref_algo.accumulate(gt, pred, cls, center_distance,
+                                      dist_th)
+        tag = f"{cls}_{dist_th}"
+        for field in ("recall", "precision", "confidence", "trans_err",
+                      "vel_err", "scale_err", "orient_err", "attr_err"):
+            blob[f"{tag}_{field}"] = np.asarray(getattr(md, field))
+        blob[f"{tag}_maxrecall"] = np.float64(add["Recall"])
+    blob["cases"] = np.array([f"{c}_{d}" for c, d in cases])
+    np.savez(os.path.join(out_dir, "eval_accumulate.npz"), **blob)
+    print(f"wrote eval_accumulate.npz ({len(blob)} arrays)")
+
+
 def gen_model(torch, out_dir, node="Conv", fusion="middle", tag="",
               frustum=False, offset_scale=0.05, offset_bias=0.0):
     """FULL-MODEL golden: run the reference DLASeg (Conv/GlobalConv nodes —
@@ -1178,6 +1396,7 @@ def main():
     gen_postprocess(torch, out_dir)
     gen_radar(torch, out_dir)
     gen_targets(torch, out_dir)
+    gen_eval_accumulate(torch, out_dir)
     gen_model(torch, out_dir)
     gen_model(torch, out_dir, node="GlobalConv", tag="_globalconv")
     gen_model(torch, out_dir, fusion="early", tag="_early")

@@ -222,6 +222,51 @@ def test_radar_rasterize_matches_reference(method, onehot, maxdist):
 
 
 # ---------------------------------------------------------------------------
+# eval_accumulate.npz — nuScenes_lib/algo.py accumulate (modified devkit)
+# ---------------------------------------------------------------------------
+
+
+def _eval_boxes_from(g, prefix):
+    from centerfusiondetect3d_tpu.evaluation.detection import EvalBox, EvalBoxes
+
+    boxes = EvalBoxes()
+    for i in range(len(g[f"{prefix}_token"])):
+        boxes.add_boxes(str(g[f"{prefix}_token"][i]), [EvalBox(
+            sample_token=str(g[f"{prefix}_token"][i]),
+            translation=g[f"{prefix}_translation"][i],
+            size=g[f"{prefix}_size"][i],
+            rotation=g[f"{prefix}_rotation"][i],
+            velocity=g[f"{prefix}_velocity"][i],
+            detection_name=str(g[f"{prefix}_name"][i]),
+            detection_score=float(g[f"{prefix}_score"][i]),
+            attribute_name=str(g[f"{prefix}_attr"][i]),
+        )])
+    return boxes
+
+
+def test_eval_accumulate_matches_reference():
+    """Greedy matching (incl. exact score-tie ordering), 101-point PR
+    interpolation, NaN-aware TP resampling, the npos==0 / no-match early
+    returns, and the exact achieved-recall (mAR) record — all vs the
+    EXECUTED reference accumulate (nuScenes_lib/algo.py:21-207)."""
+    from centerfusiondetect3d_tpu.evaluation.algo import accumulate
+
+    g = _load("eval_accumulate.npz")
+    gt = _eval_boxes_from(g, "gt")
+    pred = _eval_boxes_from(g, "pred")
+
+    for case in g["cases"]:
+        case = str(case)
+        cls, dist_th = case.rsplit("_", 1)
+        md = accumulate(gt, pred, cls, float(dist_th))
+        for f in ("recall", "precision", "confidence", "trans_err",
+                  "vel_err", "scale_err", "orient_err", "attr_err"):
+            np.testing.assert_allclose(md[f], g[f"{case}_{f}"], rtol=1e-7,
+                                       atol=1e-9, err_msg=f"{case}:{f}")
+        assert abs(md["max_recall"] - float(g[f"{case}_maxrecall"])) < 1e-12, case
+
+
+# ---------------------------------------------------------------------------
 # targets.npz — initReturn + transformBbox + addInstance
 # ---------------------------------------------------------------------------
 
