@@ -110,8 +110,12 @@ def eval_format_item(item: dict, image_info: dict, class_names, cycles,
         elif class_name in vehicles:
             att = id_to_attribute[int(np.argmax(natt[5:8])) + 6]
 
-    vel = np.zeros(3) if "velocity" not in item else np.asarray(item["velocity"])[:3]
-    vel_global = velocity_mat @ np.array([*vel, 0.0], np.float64)
+    vel = np.zeros(3) if "velocity" not in item else np.asarray(item["velocity"])
+    if vel.shape[0] == 2:
+        # already a global (vx, vy) — passthrough (nuscenes.py:455-456)
+        vel_global = np.asarray(vel, np.float64)
+    else:
+        vel_global = velocity_mat @ np.array([*vel[:3], 0.0], np.float64)
 
     return {
         "sample_token": image_info["sample_token"],

@@ -267,6 +267,64 @@ def test_eval_accumulate_matches_reference():
 
 
 # ---------------------------------------------------------------------------
+# eval_format.npz — convert_eval_format / getEvalFormatItem
+# ---------------------------------------------------------------------------
+
+
+def test_eval_format_matches_reference():
+    """Camera->global submission conversion vs the EXECUTED reference
+    (nuscenes.py:416-557 with faithful pyquaternion/Box replacements):
+    translation via trans_matrix, orientation via the Box rotate chain
+    (pose_rot * cs_rot * R_y(yaw)), attribute argmax by class group, the
+    2-vector velocity passthrough vs 3-vector velocity_trans_matrix
+    rotation, and per-sample score-sorted truncation order."""
+    from centerfusiondetect3d_tpu.data.nuscenes_eval import convert_eval_format
+
+    g = _load("eval_format.npz")
+    inputs = json.loads(bytes(g["inputs_json"]).decode())
+    want = json.loads(bytes(g["output_json"]).decode())
+
+    infos = {int(k): v for k, v in inputs["infos"].items()}
+    results = {int(k): v for k, v in inputs["results"].items()}
+
+    class _FakeCoco:
+        def load_imgs(self, ids):
+            ids = ids if isinstance(ids, (list, tuple)) else [ids]
+            return [infos[i] for i in ids]
+
+    from centerfusiondetect3d_tpu.data.dataset import NuScenesDataset
+
+    ds = SimpleNamespace(
+        config=SimpleNamespace(DATASET=SimpleNamespace(RADAR_PC=True)),
+        coco=_FakeCoco(),
+        images=sorted(infos.keys()),
+        class_name=list(NuScenesDataset.class_name),
+        cycles=list(NuScenesDataset.cycles),
+        pedestrians=list(NuScenesDataset.pedestrians),
+        vehicles=list(NuScenesDataset.vehicles),
+        id_to_attribute=dict(NuScenesDataset.id_to_attribute),
+    )
+    got = convert_eval_format(results, ds)
+
+    assert got["meta"] == want["meta"]
+    assert sorted(got["results"].keys()) == sorted(want["results"].keys())
+    for token in want["results"]:
+        recs_w, recs_g = want["results"][token], got["results"][token]
+        assert len(recs_w) == len(recs_g), token
+        for rw, rg in zip(recs_w, recs_g):
+            for key in ("sample_token", "detection_name", "attribute_name",
+                        "tracking_name", "sensor_id", "tracking_id",
+                        "det_id"):
+                assert rg[key] == rw[key], (token, key, rw, rg)
+            for key in ("translation", "size", "rotation", "velocity",
+                        "detection_score", "tracking_score"):
+                np.testing.assert_allclose(
+                    np.asarray(rg[key], np.float64),
+                    np.asarray(rw[key], np.float64),
+                    rtol=1e-4, atol=1e-4, err_msg=f"{token}:{key}")
+
+
+# ---------------------------------------------------------------------------
 # targets.npz — initReturn + transformBbox + addInstance
 # ---------------------------------------------------------------------------
 
