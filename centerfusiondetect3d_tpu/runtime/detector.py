@@ -89,15 +89,19 @@ def _warp_or_crop(img: np.ndarray, trans: np.ndarray, in_h: int, in_w: int):
     return cv2.warpAffine(img, a[:2], (in_w, in_h), flags=cv2.INTER_LINEAR)
 
 
-def _fetch_packed(processed: Dict[str, Any]) -> Dict[str, np.ndarray]:
-    """Fetch a dict of (B, K, ...) device arrays in ONE host transfer.
+def _pack_detections(processed: Dict[str, Any]):
+    """Concatenate the (B, K, ...) detection tensors into ONE device array.
 
     Over the axon tunnel every ``np.asarray`` is a separate round trip
     (~25 ms); fetching the ~10 postprocessed detection tensors one by one
-    costs more than the whole network forward. Concatenate them into a
-    single (B, K, D) float32 on device, fetch once, split on host —
-    measured: the e2e pipeline's merge stage drops from ~400 ms to one
-    transfer per batch.
+    costs more than the whole network forward. Returns
+    ``((flat, packable, widths, shapes), rest)`` where ``flat`` is the
+    single (B, K, D) float32 device array, or ``(None, processed)`` when
+    nothing packs. The pack is split from the fetch so streaming callers
+    can start the device->host copy ASYNCHRONOUSLY at dispatch time
+    (``copy_to_host_async``) — on a high-latency tunnel the program's
+    host-visible completion lags chip compute by hundreds of ms, and the
+    prefetched copy turns the later blocking fetch into a local read.
     """
     keys = sorted(processed)
     shapes = {k: tuple(processed[k].shape) for k in keys}
@@ -106,30 +110,57 @@ def _fetch_packed(processed: Dict[str, Any]) -> Dict[str, np.ndarray]:
     # entry would silently push everything to the unpacked slow path)
     anchor = "scores" if "scores" in shapes else keys[0]
     if len(shapes[anchor]) < 2:
-        return {k: np.asarray(processed[k]) for k in keys}
+        return None, processed
     b, kk = shapes[anchor][0], shapes[anchor][1]
     packable = [
         k for k in keys
         if len(shapes[k]) >= 2 and shapes[k][0] == b and shapes[k][1] == kk
     ]
-    rest = [k for k in keys if k not in packable]
+    rest = {k: processed[k] for k in keys if k not in packable}
     if len(packable) < 2:
-        return {k: np.asarray(processed[k]) for k in keys}
+        return None, processed
     parts = [
         jnp.reshape(processed[k].astype(jnp.float32), (b, kk, -1))
         for k in packable
     ]
     widths = [int(np.prod(shapes[k][2:], dtype=np.int64)) or 1
               for k in packable]
-    flat = np.asarray(jnp.concatenate(parts, axis=-1))
+    flat = jnp.concatenate(parts, axis=-1)
+    return (flat, packable, widths, shapes), rest
+
+
+def _start_host_copy(tree) -> None:
+    """Kick off async device->host copies (no-op where unsupported)."""
+    import jax
+
+    for leaf in jax.tree.leaves(tree):
+        fn = getattr(leaf, "copy_to_host_async", None)
+        if fn is not None:
+            try:
+                fn()
+            except Exception:  # pragma: no cover - backend-dependent
+                return
+
+
+def _unpack_detections(packed, rest_host) -> Dict[str, np.ndarray]:
+    flat_dev, packable, widths, shapes = packed
+    flat = np.asarray(flat_dev)
     out: Dict[str, np.ndarray] = {}
     off = 0
     for k, w in zip(packable, widths):
         out[k] = flat[..., off:off + w].reshape(shapes[k])
         off += w
-    for k in rest:
-        out[k] = np.asarray(processed[k])
+    out.update(rest_host)
     return out
+
+
+def _fetch_packed(processed: Dict[str, Any]) -> Dict[str, np.ndarray]:
+    """Fetch a dict of (B, K, ...) device arrays in ONE host transfer."""
+    packed, rest = _pack_detections(processed)
+    if packed is None:
+        return {k: np.asarray(v) for k, v in rest.items()}
+    return _unpack_detections(packed, {k: np.asarray(v)
+                                       for k, v in rest.items()})
 
 
 class Detector:
@@ -444,7 +475,7 @@ class Detector:
         return merged
 
     # ------------------------------------------------------------- streaming
-    def run_stream(self, frames, prefetch: int = 2, depth: int = 2,
+    def run_stream(self, frames, prefetch: int = 2, depth: int = 8,
                    workers: int = 1):
         """Pipelined inference over an iterable of frames.
 
@@ -456,7 +487,13 @@ class Detector:
         programs stay in flight, so JPEG decode and TPU compute overlap
         instead of serializing — the reference's DataLoader-with-workers
         arrangement (detector.py:44-155 + main.py:98-122) re-designed for a
-        single streaming process.
+        single streaming process. ``depth`` defaults to 8: on a low-latency
+        link depth 2 already hides the round trip (measured 33.5/33.6/32.8
+        fps at depth 2/4/6 on such a host), but over a high-latency tunnel
+        the program's host-visible completion lags chip compute by hundreds
+        of ms and shallow pipelines stall on it (measured on such a host:
+        16.9/23.3/25.3/24.3 fps at depth 2/4/8/12). Extra in-flight batches
+        only cost device memory (~10 MB each).
 
         Yields the same result dict as ``run`` per input batch. Abandoning
         the generator early (``break`` / ``close()``) unblocks and reaps the
@@ -524,7 +561,12 @@ class Detector:
                     break
                 batch, metas = item
                 processed, extras = self.process(batch, metas)
-                inflight.append((processed, extras, metas))
+                # pack at dispatch time and start the device->host copy NOW
+                # so it streams while later batches compute; the fetch in
+                # _finalize_stream then reads an already-local buffer
+                packed, rest = _pack_detections(processed)
+                _start_host_copy(packed[0] if packed is not None else rest)
+                inflight.append((packed, rest, extras, metas))
                 if len(inflight) >= depth:
                     yield self._finalize_stream(*inflight.pop(0))
             for entry in inflight:
@@ -541,8 +583,19 @@ class Detector:
                     break
             t.join(timeout=5.0)
 
-    def _finalize_stream(self, processed, extras, metas) -> Dict:
-        results = self.merge_outputs(processed)
+    def _finalize_stream(self, packed, rest, extras, metas) -> Dict:
+        t0 = _time.perf_counter()
+        if packed is None:
+            npx = {k: np.asarray(v) for k, v in rest.items()}
+        else:
+            npx = _unpack_detections(packed, {k: np.asarray(v)
+                                              for k, v in rest.items()})
+        t1 = _time.perf_counter()
+        results = detections_to_results(
+            npx, list(range(len(npx["scores"]))), conf_thresh=-1.0
+        )
+        self._acc_stage("fetch", t1 - t0)
+        self._acc_stage("merge", _time.perf_counter() - t1)
         return {"results": results, "metas": metas, "extras": extras}
 
     # ------------------------------------------------------------------ run
