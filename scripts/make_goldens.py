@@ -1219,6 +1219,199 @@ def gen_eval_accumulate(torch, out_dir):
     print(f"wrote eval_accumulate.npz ({len(blob)} arrays)")
 
 
+def gen_generic_loss(torch, out_dir):
+    """Full-objective goldens by EXECUTING the reference ``GenericLoss``
+    orchestrator (genericLoss.py:18-337) — beyond the per-primitive goldens
+    (losses.npz) this pins the composition: per-layer target splitting
+    (build_targets), layer-scaled index computation, aux lidar/radar
+    depth-map losses, uncertainty + decoupled paths, NORM_2D decode of
+    widthHeight, GIoU-2D and corner-3D decode losses, per-head weighting
+    and the /n_layers total."""
+    from model.genericLoss import GenericLoss
+    from config import config
+
+    t = torch.from_numpy
+    B, M, C = 2, 8, 4
+    oh, ow = 12, 20
+
+    ALL_HEADS = {"heatmap": C, "reg": 2, "widthHeight": 2, "depth": 1,
+                 "rotation": 8, "dimension": 3, "amodal_offset": 2,
+                 "nuscenes_att": 8, "velocity": 3, "depth2": 1,
+                 "rotation2": 8}
+
+    def make_outputs(layers, seed, with_unc=False, with_dmap=False):
+        r = np.random.RandomState(seed)
+        outs = []
+        for (h, w) in layers:
+            d = {
+                "heatmap": 1 / (1 + np.exp(-r.randn(B, C, h, w) * 2)),
+                "reg": r.randn(B, 2, h, w),
+                "widthHeight": r.randn(B, 2, h, w) * 2,
+                "depth": np.abs(r.randn(B, 1, h, w)) * 20 + 1,
+                "rotation": r.randn(B, 8, h, w),
+                "dimension": np.abs(r.randn(B, 3, h, w)) + 0.5,
+                "amodal_offset": r.randn(B, 2, h, w),
+                "nuscenes_att": r.randn(B, 8, h, w),
+                "velocity": r.randn(B, 3, h, w),
+                "depth2": np.abs(r.randn(B, 1, h, w)) * 20 + 1,
+                "rotation2": r.randn(B, 8, h, w),
+            }
+            if with_unc:
+                d["uncertainty"] = r.randn(B, 1, h, w) * 3
+            if with_dmap:
+                d["depthMap"] = r.randn(B, 1, h, w)
+            outs.append({k: v.astype(np.float32) for k, v in d.items()})
+        return outs
+
+    def make_batch(seed, layers):
+        r = np.random.RandomState(seed)
+        wh = np.zeros((B, M, 2), np.float32)
+        mask = np.zeros((B, M), np.float32)
+        n_obj = 6
+        for b in range(B):
+            for m in range(n_obj):
+                # areas straddling the layer thresholds (fracs of oh*ow=240:
+                # 0.0018 -> 0.43 px^2, so sides ~0.3-0.6 land in layer 0)
+                side = [0.45, 0.6, 2.0, 4.0, 8.0, 0.3][m]
+                wh[b, m] = [side * (1 + 0.2 * r.rand()),
+                            side * (1 + 0.2 * r.rand())]
+                mask[b, m] = 1.0
+        # a masked-off row with nonzero wh (must not contribute)
+        wh[:, n_obj] = [3.0, 3.0]
+
+        centers = np.stack([r.rand(B, M) * (ow - 1), r.rand(B, M) * (oh - 1)],
+                           axis=-1).astype(np.float32)
+        batch = {
+            "image": np.zeros((B, 3, 4, 4), np.float32),
+            "widthHeight": wh,
+            "classIds": r.randint(0, C, (B, M)).astype(np.int64),
+            "mask": mask,
+            "truncMask": (r.rand(B, M) > 0.6).astype(np.float32),
+            "depth": (r.rand(B, M, 1) * 40 + 1).astype(np.float32),
+            "reg": r.randn(B, M, 2).astype(np.float32),
+            "dimension": (np.abs(r.randn(B, M, 3)) + 0.4).astype(np.float32),
+            "amodal_offset": r.randn(B, M, 2).astype(np.float32),
+            "velocity": r.randn(B, M, 3).astype(np.float32),
+            "nuscenes_att": (r.rand(B, M, 8) > 0.7).astype(np.float32),
+            "nuscenes_att_mask": (r.rand(B, M, 8) > 0.4).astype(np.float32),
+            "rotbin": r.randint(0, 2, (B, M, 2)).astype(np.int64),
+            "rotres": (r.randn(B, M, 2) * 0.4).astype(np.float32),
+            "calib": np.tile(np.array(
+                [[400.0, 0, ow * 2, 0], [0, 400.0, oh * 2, 0], [0, 0, 1, 0]],
+                np.float32), (B, 1, 1)),
+            "pc_lidar": np.zeros((B, 3, 16), np.float32),
+            "pc_2d": np.zeros((B, 3, 10), np.float32),
+            "target": {
+                "heatCenters": centers,
+                "bboxes": np.concatenate(
+                    [centers - wh / 2, centers + wh / 2], -1
+                ).astype(np.float32),
+                "bboxes3d": r.randn(B, M, 8, 3).astype(np.float32) * 5,
+            },
+        }
+        for b in range(B):
+            n = 12
+            batch["pc_lidar"][b, 0, :n] = r.rand(n) * (ow - 1)
+            batch["pc_lidar"][b, 1, :n] = r.rand(n) * (oh - 1)
+            batch["pc_lidar"][b, 2, :n] = r.rand(n) * 50 + 1
+            n = 7
+            batch["pc_2d"][b, 0, :n] = r.rand(n) * (ow - 1)
+            batch["pc_2d"][b, 1, :n] = r.rand(n) * (oh - 1)
+            batch["pc_2d"][b, 2, :n] = r.rand(n) * 50 + 1
+
+        # layer-split heatmap targets: 1.0 at each object's layer-scaled
+        # center in its class channel, background noise elsewhere
+        out_area = oh * ow
+        fracs = wh[..., 0] * wh[..., 1] / out_area
+        thresh = [0, 0.0018, 0.0085][: len(layers)]
+        for i, (h, w) in enumerate(layers):
+            hm = (r.rand(B, C, h, w) * 0.9).astype(np.float32)
+            lo = thresh[i]
+            hi = thresh[i + 1] if i + 1 < len(thresh) else np.inf
+            sy, sx = h / oh, w / ow
+            for b in range(B):
+                for m in range(M):
+                    if mask[b, m] and lo < fracs[b, m] < hi:
+                        cx = int(centers[b, m, 0] * sx)
+                        cy = int(centers[b, m, 1] * sy)
+                        hm[b, batch["classIds"][b, m], cy, cx] = 1.0
+            batch[f"heatmap{i}"] = hm
+        batch["meta"] = {
+            "center": np.tile(np.array([800.0, 450.0], np.float32), (B, 1)),
+            # scalar per image (MAX_CROP semantics, main.py scale = max(h,w))
+            "scale": np.full((B,), 1600.0, np.float32),
+        }
+        return batch
+
+    variants = [
+        # (tag, layers, training, weights overrides, flags)
+        ("base", [(oh, ow)], False,
+         dict(lidar_depth=0.7, radar_depth=0.6, bbox2d=0.0, bbox3d=0.0),
+         dict(unc=False, decouple=False, norm2d=False, dmap=True)),
+        ("unc", [(oh, ow)], True,
+         dict(lidar_depth=0.0, radar_depth=0.0, bbox2d=0.8, bbox3d=0.9),
+         dict(unc=True, decouple=True, norm2d=True, dmap=True)),
+        ("two", [(oh, ow), (2 * oh, 2 * ow)], False,
+         dict(lidar_depth=0.0, radar_depth=0.0, bbox2d=0.0, bbox3d=0.0),
+         dict(unc=False, decouple=False, norm2d=False, dmap=False)),
+    ]
+
+    blob = {}
+    for tag, layers, training, wov, flags in variants:
+        weights = {h: 1.0 for h in ALL_HEADS}
+        weights.update(heatmap=1.0, depth=1.0, rotation=1.0)
+        weights.update(wov)
+        config.defrost()
+        config.heads = dict(ALL_HEADS)
+        if flags["unc"]:
+            config.heads["uncertainty"] = 1
+        config.weights = dict(weights)
+        config.MODEL.OUTPUT_SIZE = (oh, ow)
+        config.MODEL.NORM_2D = flags["norm2d"]
+        config.TRAIN.UNCERTAINTY_LOSS = flags["unc"]
+        config.DATASET.DECOUPLE_REP = flags["decouple"]
+        config.LOSS_WEIGHTS.LIDAR_DEPTH = weights["lidar_depth"]
+        config.LOSS_WEIGHTS.RADAR_DEPTH = weights["radar_depth"]
+
+        seed = sum(ord(c) for c in tag)  # stable across processes
+        outputs = make_outputs(layers, seed=seed,
+                               with_unc=flags["unc"], with_dmap=flags["dmap"])
+        batch = make_batch(seed=200 + seed, layers=layers)
+
+        loss_fn = GenericLoss(config, num_classes=C)
+        loss_fn.train(training)
+
+        def to_t(x):
+            if isinstance(x, dict):
+                return {k: to_t(v) for k, v in x.items()}
+            return t(np.asarray(x))
+
+        with torch.set_grad_enabled(False):
+            total, losses = loss_fn([{k: t(v) for k, v in o.items()}
+                                     for o in outputs], to_t(batch))
+
+        for li, o in enumerate(outputs):
+            for k, v in o.items():
+                blob[f"{tag}_out{li}_{k}"] = v
+        for k, v in batch.items():
+            if k == "target":
+                for k2, v2 in v.items():
+                    blob[f"{tag}_target_{k2}"] = v2
+            elif k == "meta":
+                blob[f"{tag}_meta_center"] = v["center"]
+                blob[f"{tag}_meta_scale"] = v["scale"]
+            else:
+                blob[f"{tag}_batch_{k}"] = v
+        for k, v in losses.items():
+            blob[f"{tag}_loss_{k}"] = np.float64(float(v))
+        blob[f"{tag}_loss_total_ret"] = np.float64(float(total))
+        blob[f"{tag}_weights"] = np.array(
+            [f"{k}={v}" for k, v in sorted(weights.items())])
+        blob[f"{tag}_nlayers"] = np.int64(len(layers))
+    np.savez(os.path.join(out_dir, "generic_loss.npz"), **blob)
+    print(f"wrote generic_loss.npz ({len(blob)} arrays)")
+
+
 class _FaithfulQuaternion:
     """Minimal pyquaternion.Quaternion: Hamilton product + rotation matrix.
     Transcribed public semantics — only what getEvalFormatItem touches."""
@@ -1565,6 +1758,7 @@ def main():
     gen_targets(torch, out_dir)
     gen_eval_accumulate(torch, out_dir)
     gen_eval_format(torch, out_dir)
+    gen_generic_loss(torch, out_dir)
     gen_model(torch, out_dir)
     gen_model(torch, out_dir, node="GlobalConv", tag="_globalconv")
     gen_model(torch, out_dir, fusion="early", tag="_early")

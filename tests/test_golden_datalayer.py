@@ -222,6 +222,92 @@ def test_radar_rasterize_matches_reference(method, onehot, maxdist):
 
 
 # ---------------------------------------------------------------------------
+# generic_loss.npz — the full GenericLoss orchestrator
+# ---------------------------------------------------------------------------
+
+
+@pytest.mark.parametrize("tag,training", [
+    ("base", False),   # aux lidar/radar losses + depthMap, eval mode
+    ("unc", True),     # uncertainty + decoupled + NORM_2D + bbox2d/3d
+    ("two", False),    # two pyramid layers (build_targets split + rescale)
+])
+def test_generic_loss_matches_reference(tag, training):
+    import jax.numpy as jnp
+
+    from centerfusiondetect3d_tpu.geometry import get_affine_transform
+    from centerfusiondetect3d_tpu.losses.generic import GenericLoss
+
+    g = _load("generic_loss.npz")
+    n_layers = int(g[f"{tag}_nlayers"])
+    weights = {}
+    for kv in g[f"{tag}_weights"]:
+        k, v = str(kv).split("=")
+        weights[k] = float(v)
+
+    heads = dict(HEADS)
+    heads["heatmap"] = 4
+    if tag == "unc":
+        heads["uncertainty"] = 1
+    oh, ow = 12, 20
+    cfg = SimpleNamespace(
+        heads=heads, weights=weights,
+        MODEL=SimpleNamespace(OUTPUT_SIZE=(oh, ow), NORM_2D=(tag == "unc")),
+        DATASET=SimpleNamespace(DECOUPLE_REP=(tag == "unc")),
+        TRAIN=SimpleNamespace(UNCERTAINTY_LOSS=(tag == "unc")),
+    )
+
+    outputs = []
+    for li in range(n_layers):
+        prefix = f"{tag}_out{li}_"
+        outputs.append({
+            k[len(prefix):]: jnp.asarray(_chw3(g[k]))
+            for k in g.files if k.startswith(prefix)
+        })
+
+    batch = {}
+    for k in g.files:
+        if k.startswith(f"{tag}_batch_"):
+            name = k[len(tag) + 7:]
+            v = g[k]
+            if name in ("pc_lidar", "pc_2d"):
+                v = np.transpose(v, (0, 2, 1))  # (B, 3, N) -> (B, N, 3)
+            elif name.startswith("heatmap"):
+                v = _chw3(v)
+            batch[name] = jnp.asarray(v)
+    batch["target"] = {
+        k[len(tag) + 8:]: jnp.asarray(g[k])
+        for k in g.files if k.startswith(f"{tag}_target_")
+    }
+    center = g[f"{tag}_meta_center"][0]
+    scale = float(g[f"{tag}_meta_scale"][0])
+    batch["trans_mat"] = jnp.asarray(get_affine_transform(
+        center, scale, 0, (ow, oh), inverse=True).astype(np.float32))
+
+    total, losses = GenericLoss(cfg)(outputs, batch, train=training)
+
+    compared = 0
+    for k in g.files:
+        if not k.startswith(f"{tag}_loss_") or k.endswith("total_ret"):
+            continue
+        name = k[len(tag) + 6:]
+        if name == "uncertainty":
+            continue  # placeholder key, never accumulated by either side
+        assert name in losses, f"loss {name} missing from ours"
+        np.testing.assert_allclose(
+            float(losses[name]), float(g[k]), rtol=2e-4, atol=1e-5,
+            err_msg=f"{tag}:{name}")
+        compared += 1
+    np.testing.assert_allclose(float(total), float(g[f"{tag}_loss_total_ret"]),
+                               rtol=2e-4)
+    assert compared >= 12, compared
+
+
+def _chw3(x):
+    """(B, C, H, W) -> (B, H, W, C)."""
+    return np.transpose(x, (0, 2, 3, 1))
+
+
+# ---------------------------------------------------------------------------
 # eval_accumulate.npz — nuScenes_lib/algo.py accumulate (modified devkit)
 # ---------------------------------------------------------------------------
 
