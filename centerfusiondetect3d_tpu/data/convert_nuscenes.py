@@ -298,8 +298,13 @@ def aggregate_radar(nusc: RawNuScenes, sample: dict, radar_channel: str,
         path = os.path.join(nusc.dataroot, sd["filename"])
         if os.path.exists(path):
             pts = read_radar_pcd(path)
-            dist = np.linalg.norm(pts[:2], axis=0)
-            pts = pts[:, dist >= min_distance]
+            # devkit remove_close is an axis-aligned BOX, not a radial disk:
+            # a point is dropped only when BOTH |x| and |y| are under the
+            # threshold (data_classes.PointCloud.remove_close; golden-pinned
+            # by tests/fixtures/multisweep.npz)
+            close = (np.abs(pts[0]) < min_distance) & (
+                np.abs(pts[1]) < min_distance)
+            pts = pts[:, ~close]
 
             pose = nusc.ego_pose[sd["ego_pose_token"]]
             cs = nusc.calibrated_sensor[sd["calibrated_sensor_token"]]

@@ -1219,6 +1219,148 @@ def gen_eval_accumulate(torch, out_dir):
     print(f"wrote eval_accumulate.npz ({len(blob)} arrays)")
 
 
+def gen_multisweep(torch, out_dir):
+    """Multisweep radar-aggregation goldens by EXECUTING the reference
+    ``RadarPointCloudWithVelocity.from_file_multisweep``
+    (utils/pointcloud.py:54-192) with faithful devkit replacements
+    (RadarPointCloud base incl. its per-axis ``remove_close`` box filter,
+    ``transform_matrix``, pyquaternion): the 4-matrix coordinate chain, the
+    separate rotation-only chain for compensated velocities, per-sweep
+    prev-token walking, and the sweep time lags."""
+    import importlib
+
+    FILES = {}
+
+    class _RadarPointCloud:
+        """Faithful minimal devkit PointCloud base (data_classes.py)."""
+
+        def __init__(self, points):
+            self.points = points
+
+        @staticmethod
+        def nbr_dims():
+            return 18
+
+        @classmethod
+        def from_file(cls, file_name):
+            return cls(FILES[os.path.basename(file_name)].copy())
+
+        def nbr_points(self):
+            return self.points.shape[1]
+
+        def remove_close(self, radius):
+            # devkit semantics: an axis-aligned BOX, not a radial disk
+            x_filt = np.abs(self.points[0, :]) < radius
+            y_filt = np.abs(self.points[1, :]) < radius
+            not_close = np.logical_not(np.logical_and(x_filt, y_filt))
+            self.points = self.points[:, not_close]
+
+        def transform(self, transf_matrix):
+            self.points[:3, :] = transf_matrix.dot(
+                np.vstack((self.points[:3, :], np.ones(self.nbr_points())))
+            )[:3, :]
+
+    def _transform_matrix(translation, rotation, inverse=False):
+        tm = np.eye(4)
+        if inverse:
+            rot_inv = rotation.rotation_matrix.T
+            trans = np.transpose(-np.array(translation))
+            tm[:3, :3] = rot_inv
+            tm[:3, 3] = rot_inv.dot(trans)
+        else:
+            tm[:3, :3] = rotation.rotation_matrix
+            tm[:3, 3] = np.transpose(np.array(translation))
+        return tm
+
+    sys.modules["nuscenes.utils.data_classes"].RadarPointCloud = (
+        _RadarPointCloud
+    )
+    sys.modules["nuscenes.utils.geometry_utils"].transform_matrix = (
+        _transform_matrix
+    )
+    sys.modules["pyquaternion"].Quaternion = _FaithfulQuaternion
+    import utils.pointcloud as refpc
+
+    importlib.reload(refpc)  # rebuild the class on the faithful base
+
+    rs = np.random.RandomState(97)
+
+    def q(yaw, pitch=0.0):
+        a = _FaithfulQuaternion(axis=[0, 0, 1], angle=yaw)
+        b = _FaithfulQuaternion(axis=[0, 1, 0], angle=pitch)
+        return (a * b).q.tolist()
+
+    # records: a CAM_FRONT reference + a 3-sweep radar chain, each frame
+    # with its own pose/sensor extrinsics
+    sample_data, ego_pose, calibrated_sensor = {}, {}, {}
+    ego_pose["ep_ref"] = {"translation": [100.0, 50.0, 0.0],
+                          "rotation": q(0.3, 0.01)}
+    calibrated_sensor["cs_ref"] = {"translation": [1.5, 0.2, 1.6],
+                                   "rotation": q(-0.2, 0.02)}
+    sample_data["sd_cam"] = {"ego_pose_token": "ep_ref",
+                             "calibrated_sensor_token": "cs_ref",
+                             "timestamp": 1_000_000, "prev": "",
+                             "filename": "cam.jpg"}
+    prev = ""
+    for i in reversed(range(3)):
+        ego_pose[f"ep_r{i}"] = {
+            "translation": [100.0 - 2.5 * i, 50.0 - 0.8 * i, 0.0],
+            "rotation": q(0.3 - 0.05 * i)}
+        calibrated_sensor[f"cs_r{i}"] = {
+            "translation": [2.4, 0.0, 0.5], "rotation": q(0.05 * i, 0.0)}
+        sample_data[f"sd_r{i}"] = {
+            "ego_pose_token": f"ep_r{i}",
+            "calibrated_sensor_token": f"cs_r{i}",
+            "timestamp": 1_000_000 - 60_000 * i, "prev": prev,
+            "filename": f"sweeps/RADAR_FRONT/s{i}.pcd"}
+        prev = f"sd_r{i}"
+
+    sweeps = {}
+    for i in range(3):
+        n = 12
+        pts = np.zeros((18, n), np.float32)
+        pts[0] = np.round(rs.uniform(-30, 30, n), 3)
+        pts[1] = np.round(rs.uniform(-20, 20, n), 3)
+        pts[2] = np.round(rs.uniform(-0.5, 0.5, n), 3)
+        pts[3:8] = np.round(rs.randn(5, n), 3)
+        pts[8] = np.round(rs.randn(n) * 3, 3)   # vx_comp
+        pts[9] = np.round(rs.randn(n) * 3, 3)   # vy_comp
+        pts[10:] = np.round(rs.randn(8, n), 3)
+        # pin remove_close: unit-box corner (radially > 1 but inside the
+        # box) must be REMOVED; axis-near points with one large axis kept
+        pts[0, 0], pts[1, 0] = 0.9, 0.9
+        pts[0, 1], pts[1, 1] = 0.5, 5.0
+        pts[0, 2], pts[1, 2] = 0.2, 0.3
+        sweeps[f"s{i}.pcd"] = pts
+        FILES[f"s{i}.pcd"] = pts.astype(np.float64)
+
+    class _FakeNusc:
+        dataroot = ""
+
+        def get(self, table, token):
+            return {"sample_data": sample_data, "ego_pose": ego_pose,
+                    "calibrated_sensor": calibrated_sensor}[table][token]
+
+    sample_rec = {"data": {"CAM_FRONT": "sd_cam", "RADAR_FRONT": "sd_r0"}}
+    all_pc, all_times = refpc.RadarPointCloudWithVelocity.from_file_multisweep(
+        _FakeNusc(), sample_rec, "RADAR_FRONT", "CAM_FRONT", nsweeps=3,
+        min_distance=1.0)
+
+    import json as _json
+
+    blob = {
+        "records_json": np.frombuffer(_json.dumps({
+            "sample_data": sample_data, "ego_pose": ego_pose,
+            "calibrated_sensor": calibrated_sensor}).encode(), np.uint8),
+        "out_points": np.asarray(all_pc.points),
+        "out_times": np.asarray(all_times),
+    }
+    for name, pts in sweeps.items():
+        blob[f"sweep_{name.split('.')[0]}"] = pts
+    np.savez(os.path.join(out_dir, "multisweep.npz"), **blob)
+    print(f"wrote multisweep.npz ({blob['out_points'].shape[1]} agg points)")
+
+
 def gen_generic_loss(torch, out_dir):
     """Full-objective goldens by EXECUTING the reference ``GenericLoss``
     orchestrator (genericLoss.py:18-337) — beyond the per-primitive goldens
@@ -1759,6 +1901,7 @@ def main():
     gen_eval_accumulate(torch, out_dir)
     gen_eval_format(torch, out_dir)
     gen_generic_loss(torch, out_dir)
+    gen_multisweep(torch, out_dir)
     gen_model(torch, out_dir)
     gen_model(torch, out_dir, node="GlobalConv", tag="_globalconv")
     gen_model(torch, out_dir, fusion="early", tag="_early")

@@ -222,6 +222,48 @@ def test_radar_rasterize_matches_reference(method, onehot, maxdist):
 
 
 # ---------------------------------------------------------------------------
+# multisweep.npz — RadarPointCloudWithVelocity.from_file_multisweep
+# ---------------------------------------------------------------------------
+
+
+def test_multisweep_aggregation_matches_reference(tmp_path):
+    """The 4-matrix sensor->car->global->car->camera chain, the separate
+    rotation-only chain for compensated velocities, the devkit's per-axis
+    remove_close box filter, and prev-token sweep walking — vs the EXECUTED
+    reference from_file_multisweep (utils/pointcloud.py:54-192)."""
+    from types import SimpleNamespace
+
+    from centerfusiondetect3d_tpu.data.convert_nuscenes import aggregate_radar
+
+    from test_e2e_flagship import write_radar_pcd
+
+    g = _load("multisweep.npz")
+    records = json.loads(bytes(g["records_json"]).decode())
+    sd = records["sample_data"]
+
+    for i in range(3):
+        pts = g[f"sweep_s{i}"]  # (18, N)
+        (tmp_path / "sweeps" / "RADAR_FRONT").mkdir(parents=True,
+                                                    exist_ok=True)
+        write_radar_pcd(str(tmp_path / f"sweeps/RADAR_FRONT/s{i}.pcd"),
+                        pts.T)
+
+    nusc = SimpleNamespace(
+        dataroot=str(tmp_path),
+        sd_by_token=sd,
+        ego_pose=records["ego_pose"],
+        calibrated_sensor=records["calibrated_sensor"],
+        sample_channel={"samp": {"CAM_FRONT": "sd_cam",
+                                 "RADAR_FRONT": "sd_r0"}},
+    )
+    agg = aggregate_radar(nusc, {"token": "samp"}, "RADAR_FRONT",
+                          "CAM_FRONT", nsweeps=3, min_distance=1.0)
+    want = g["out_points"]
+    assert agg.shape == want.shape, (agg.shape, want.shape)
+    np.testing.assert_allclose(agg, want, rtol=1e-4, atol=1e-4)
+
+
+# ---------------------------------------------------------------------------
 # generic_loss.npz — the full GenericLoss orchestrator
 # ---------------------------------------------------------------------------
 
