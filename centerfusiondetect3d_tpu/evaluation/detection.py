@@ -156,12 +156,22 @@ def filter_eval_boxes(boxes: EvalBoxes, config: DetectionConfig,
     out = EvalBoxes()
     for token in boxes.sample_tokens:
         if scene_filter is not None and not scene_filter(token):
+            # the reference keeps the sample token with an EMPTY box list
+            # (loaders.py:273-279 clears eval_boxes.boxes[token]) so the
+            # pred/gt sample sets still line up downstream
+            out.add_boxes(token, [])
             continue
         kept = [
             b
             for b in boxes[token]
             if b.detection_name in config.class_range
-            and config.min_dist <= b.ego_dist < config.class_range[b.detection_name]
+            # STRICT band on both sides (loaders.py:285-288: ego_dist <
+            # max AND ego_dist > min) — a box exactly at min_dist is
+            # outside. The lower bound only applies when a band is set:
+            # min_dist == 0 is the full-range case, where boxes with
+            # unknown ego context (ego_dist 0.0) must not be dropped
+            and b.ego_dist < config.class_range[b.detection_name]
+            and (config.min_dist <= 0 or b.ego_dist > config.min_dist)
             and b.num_pts != 0
         ]
         racks = (bike_racks or {}).get(token, [])

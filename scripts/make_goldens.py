@@ -1219,6 +1219,153 @@ def gen_eval_accumulate(torch, out_dir):
     print(f"wrote eval_accumulate.npz ({len(blob)} arrays)")
 
 
+def gen_eval_filter(torch, out_dir):
+    """Eval box-filtering goldens by EXECUTING the reference's modified
+    ``filter_eval_boxes`` (nuScenes_lib/loaders.py:248-341): the strict
+    min/max ego-distance band (multi-range eval), the zero-point filter,
+    bike-rack suppression of bicycles/motorcycles via devkit
+    ``points_in_box`` geometry, and the night/rain scene-keyword filter."""
+
+    class _DetectionBox:
+        def __init__(self, **kw):
+            self.__dict__.update(kw)
+
+        @property
+        def ego_dist(self):
+            return float(np.hypot(self.ego_translation[0],
+                                  self.ego_translation[1]))
+
+    class _BoxWithCorners(_FaithfulBox):
+        def corners(self, wlh_factor=1.0):
+            w, l, h = self.wlh * wlh_factor
+            x = l / 2 * np.array([1, 1, 1, 1, -1, -1, -1, -1])
+            y = w / 2 * np.array([1, -1, -1, 1, 1, -1, -1, 1])
+            z = h / 2 * np.array([1, 1, -1, -1, 1, 1, -1, -1])
+            pts = np.vstack((x, y, z))
+            pts = self.orientation.rotation_matrix @ pts
+            return pts + self.center.reshape(3, 1)
+
+    def _points_in_box(box, points, wlh_factor=1.0):
+        corners = box.corners(wlh_factor=wlh_factor)
+        p1, p_x, p_y, p_z = (corners[:, 0], corners[:, 4], corners[:, 1],
+                             corners[:, 3])
+        i, j, k = p_x - p1, p_y - p1, p_z - p1
+        v = points - p1.reshape((-1, 1))
+        iv, jv, kv = i @ v, j @ v, k @ v
+        return (np.logical_and(0 <= iv, iv <= i @ i)
+                & np.logical_and(0 <= jv, jv <= j @ j)
+                & np.logical_and(0 <= kv, kv <= k @ k))
+
+    sys.modules["nuscenes.eval.detection.data_classes"].DetectionBox = (
+        _DetectionBox
+    )
+    _stub("nuscenes.eval.tracking.data_classes", TrackingBox=type(
+        "TrackingBox", (), {}))
+    _stub("nuscenes.utils.splits", create_splits_scenes=lambda *a, **k: {})
+    sys.modules["nuscenes"].NuScenes = object
+    sys.modules["pyquaternion"].Quaternion = _FaithfulQuaternion
+    sys.modules["nuscenes.utils.data_classes"].Box = _BoxWithCorners
+    sys.modules["nuscenes.utils.geometry_utils"].points_in_box = (
+        _points_in_box
+    )
+    sys.path.insert(0, "/root/reference/src/lib/nuScenes_lib")
+    import loaders as ref_loaders
+
+    import importlib
+
+    importlib.reload(ref_loaders)  # pick up the faithful stubs
+
+    class _Boxes:
+        def __init__(self):
+            self.boxes = {}
+
+        def add(self, token, box):
+            self.boxes.setdefault(token, []).append(box)
+
+        def __getitem__(self, token):
+            return self.boxes.get(token, [])
+
+        @property
+        def sample_tokens(self):
+            return list(self.boxes.keys())
+
+    def yaw_quat(yaw):
+        return [np.cos(yaw / 2), 0.0, 0.0, np.sin(yaw / 2)]
+
+    tokens = ["sA", "sB", "sC"]
+    scenes = {"sA": "Rain, city traffic", "sB": "sunny, boring",
+              "sC": "very dark, parked cars"}
+    # one bike rack annotation in sA (10 x 4 x 2 m at the origin, yawed)
+    rack = {"translation": [5.0, 5.0, 1.0], "size": [4.0, 10.0, 2.0],
+            "rotation": yaw_quat(0.4),
+            "category_name": "static_object.bicycle_rack"}
+    samples = {t: {"scene_token": f"sc_{t}",
+                   "anns": (["rack0"] if t == "sA" else [])}
+               for t in tokens}
+    nusc_tables = {
+        "sample": samples,
+        "scene": {f"sc_{t}": {"description": scenes[t]} for t in tokens},
+        "sample_annotation": {"rack0": rack},
+    }
+
+    class _FakeNusc:
+        def get(self, table, token):
+            return nusc_tables[table][token]
+
+    max_dist = {"car": 50.0, "bicycle": 40.0, "motorcycle": 40.0,
+                "pedestrian": 40.0}
+    min_dist = {k: 30.0 for k in max_dist}
+
+    rows = [
+        # (uid, token, name, ego_xy, num_pts, translation)
+        (0, "sA", "car", (40.0, 0.0), 5, [40.0, 0.0, 0.5]),      # in band
+        (1, "sA", "car", (50.0, 0.0), 5, [50.0, 0.0, 0.5]),      # == max
+        (2, "sA", "car", (30.0, 0.0), 5, [30.0, 0.0, 0.5]),      # == min
+        (3, "sA", "car", (29.9, 0.0), 5, [29.9, 0.0, 0.5]),      # below band
+        (4, "sA", "pedestrian", (35.0, 0.0), 0, [35.0, 0.0, 0.5]),  # 0 pts
+        (5, "sA", "pedestrian", (35.0, 0.0), -1, [35.0, 0.0, 0.5]),  # pred
+        (6, "sA", "bicycle", (32.0, 10.0), 3, [5.5, 5.5, 1.0]),  # IN rack
+        (7, "sA", "bicycle", (32.0, 10.0), 3, [25.0, 25.0, 1.0]),  # out
+        (8, "sA", "motorcycle", (33.0, 5.0), 2, [5.0, 6.0, 1.2]),  # IN rack
+        (9, "sA", "car", (31.0, 2.0), 9, [5.0, 5.0, 1.0]),  # car in rack ok
+        (10, "sB", "car", (45.0, 0.0), 4, [45.0, 0.0, 0.5]),   # keyword-cut
+        (11, "sC", "car", (45.0, 0.0), 4, [45.0, 0.0, 0.5]),   # 'very dark'
+    ]
+    boxes = _Boxes()
+    DetectionBox = _DetectionBox
+    for uid, tok, name, exy, npts, tr in rows:
+        boxes.add(tok, DetectionBox(
+            sample_token=tok, detection_name=name,
+            ego_translation=[exy[0], exy[1], 0.0], num_pts=npts,
+            translation=tr, size=[0.6, 1.8, 1.2],
+            rotation=yaw_quat(0.1), uid=uid))
+
+    import json as _json
+
+    blob = {
+        "rows_json": np.frombuffer(_json.dumps(rows).encode(), np.uint8),
+        "scenes_json": np.frombuffer(_json.dumps(scenes).encode(), np.uint8),
+        "rack_json": np.frombuffer(_json.dumps(rack).encode(), np.uint8),
+        "max_dist_json": np.frombuffer(
+            _json.dumps(max_dist).encode(), np.uint8),
+    }
+    # night+rain keywords as DetectionEval derives them (evaluate.py:104-112)
+    for tag, keywords in [("plain", None),
+                          ("extreme", ["dark", "very dark", "Night", "Rain",
+                                       "heavy rain"])]:
+        import copy
+
+        eb = _Boxes()
+        eb.boxes = {t: list(boxes.boxes[t]) for t in boxes.boxes}
+        out = ref_loaders.filter_eval_boxes(
+            _FakeNusc(), eb, max_dist, min_dist, keywords=keywords)
+        blob[f"{tag}_kept_json"] = np.frombuffer(_json.dumps(
+            {t: [b.uid for b in out.boxes[t]] for t in out.boxes}
+        ).encode(), np.uint8)
+    np.savez(os.path.join(out_dir, "eval_filter.npz"), **blob)
+    print("wrote eval_filter.npz")
+
+
 def gen_multisweep(torch, out_dir):
     """Multisweep radar-aggregation goldens by EXECUTING the reference
     ``RadarPointCloudWithVelocity.from_file_multisweep``
@@ -1902,6 +2049,7 @@ def main():
     gen_eval_format(torch, out_dir)
     gen_generic_loss(torch, out_dir)
     gen_multisweep(torch, out_dir)
+    gen_eval_filter(torch, out_dir)
     gen_model(torch, out_dir)
     gen_model(torch, out_dir, node="GlobalConv", tag="_globalconv")
     gen_model(torch, out_dir, fusion="early", tag="_early")

@@ -222,6 +222,62 @@ def test_radar_rasterize_matches_reference(method, onehot, maxdist):
 
 
 # ---------------------------------------------------------------------------
+# eval_filter.npz — modified filter_eval_boxes (loaders.py)
+# ---------------------------------------------------------------------------
+
+
+@pytest.mark.parametrize("tag,keywords", [
+    ("plain", None),
+    ("extreme", ["dark", "very dark", "Night", "Rain", "heavy rain"]),
+])
+def test_filter_eval_boxes_matches_reference(tag, keywords):
+    """Strict min/max ego-distance band, zero-point filter, bike-rack
+    suppression via oriented-box geometry, and the scene-keyword filter —
+    vs the EXECUTED reference filter_eval_boxes (loaders.py:248-341)."""
+    from centerfusiondetect3d_tpu.evaluation.detection import (
+        DetectionConfig,
+        EvalBox,
+        EvalBoxes,
+        filter_eval_boxes,
+    )
+
+    g = _load("eval_filter.npz")
+    rows = json.loads(bytes(g["rows_json"]).decode())
+    scenes = json.loads(bytes(g["scenes_json"]).decode())
+    rack = json.loads(bytes(g["rack_json"]).decode())
+    max_dist = json.loads(bytes(g["max_dist_json"]).decode())
+    want = json.loads(bytes(g[f"{tag}_kept_json"]).decode())
+
+    boxes = EvalBoxes()
+    uid_of = {}
+    for uid, tok, name, exy, npts, tr in rows:
+        b = EvalBox(
+            sample_token=tok, translation=np.asarray(tr, np.float64),
+            size=np.array([0.6, 1.8, 1.2]),
+            rotation=np.array([np.cos(0.05), 0, 0, np.sin(0.05)]),
+            velocity=np.zeros(2), detection_name=name, detection_score=0.5,
+            num_pts=npts,
+            ego_translation=np.array([exy[0], exy[1], 0.0]),
+        )
+        uid_of[id(b)] = uid
+        boxes.add_boxes(tok, [b])
+
+    cfg = DetectionConfig(class_range=dict(max_dist), min_dist=30.0)
+    scene_filter = None
+    if keywords is not None:
+        def scene_filter(token):
+            desc = {s.strip() for s in scenes[token].split(",")}
+            return bool(desc & set(keywords))
+
+    out = filter_eval_boxes(
+        boxes, cfg, scene_filter=scene_filter,
+        bike_racks={"sA": [rack]},
+    )
+    got = {t: sorted(uid_of[id(b)] for b in out[t]) for t in out.sample_tokens}
+    assert got == {t: sorted(v) for t, v in want.items()}, (got, want)
+
+
+# ---------------------------------------------------------------------------
 # multisweep.npz — RadarPointCloudWithVelocity.from_file_multisweep
 # ---------------------------------------------------------------------------
 
