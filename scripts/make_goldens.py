@@ -39,10 +39,28 @@ def install_stubs():
     execute in the loss paths we capture."""
     _stub("nuscenes")
     _stub("nuscenes.utils")
-    _stub("nuscenes.utils.data_classes", RadarPointCloud=object)
+
+    class _RadarPointCloudStub:
+        """Placeholder devkit class. Must NOT be ``object``:
+        map_pointcloud_to_image does isinstance(pc, RadarPointCloud), and
+        with ``object`` every ndarray would match."""
+
+    def _view_points(points, view, normalize):
+        """Faithful devkit geometry_utils.view_points (public semantics)."""
+        viewpad = np.eye(4)
+        viewpad[: view.shape[0], : view.shape[1]] = view
+        nbr = points.shape[1]
+        pts = np.concatenate((points, np.ones((1, nbr))))
+        pts = viewpad @ pts
+        pts = pts[:3, :]
+        if normalize:
+            pts = pts / pts[2:3, :].repeat(3, 0).reshape(3, nbr)
+        return pts
+
+    _stub("nuscenes.utils.data_classes", RadarPointCloud=_RadarPointCloudStub)
     _stub(
         "nuscenes.utils.geometry_utils",
-        view_points=lambda *a, **k: None,
+        view_points=_view_points,
         transform_matrix=lambda *a, **k: None,
     )
     _stub("pyquaternion", Quaternion=object)
@@ -77,6 +95,7 @@ def install_stubs():
     _stub("lightning.pytorch")
     _stub("lightning.pytorch.utilities",
           rank_zero_only=lambda fn, *a, **k: fn)
+    _stub("lightning.pytorch.loggers", WandbLogger=object)
     def _tv_deform_conv2d(input=None, offset=None, weight=None, bias=None,
                           stride=(1, 1), padding=(1, 1), dilation=(1, 1),
                           mask=None):
@@ -132,12 +151,9 @@ def install_stubs():
     # dataset/datasets/nuscenes.py module-scope devkit imports (none are
     # executed by the generators, which drive addInstance/processPointCloud)
     _stub("nuscenes.nuscenes", NuScenes=object)
-    _stub(
-        "nuscenes.utils.geometry_utils",
-        view_points=lambda *a, **k: None,
-        transform_matrix=lambda *a, **k: None,
-        BoxVisibility=object,
-    )
+    # add BoxVisibility to the existing geometry_utils stub WITHOUT
+    # replacing it (the faithful view_points above must survive)
+    sys.modules["nuscenes.utils.geometry_utils"].BoxVisibility = object
     sys.modules["nuscenes.utils.data_classes"].Box = object
     _stub("nuscenes.eval")
     _stub("nuscenes.eval.common")
@@ -1219,6 +1235,79 @@ def gen_eval_accumulate(torch, out_dir):
     print(f"wrote eval_accumulate.npz ({len(blob)} arrays)")
 
 
+def gen_detector_preprocess(torch, out_dir):
+    """Serving pre-process goldens by EXECUTING the reference
+    ``Detector.pre_process`` (detector.py:189-322): multi-camera concat
+    affine warp + normalization, per-camera calib assembly, and the serving
+    radar block (distance filter, PC_Z_OFFSET, border-margin projection,
+    depth sort, pillar rasterize) — the whole host side of one inference."""
+    from detector import Detector
+    from config import config
+
+    torch.cuda.synchronize = lambda *a, **k: None  # return_time on CPU
+
+    rs = np.random.RandomState(113)
+    oh, ow = 24, 40
+    ih, iw = 96, 160
+    H, W = 90, 160  # "original" camera resolution
+
+    blob = {}
+    for tag, z_offset in [("plain", 0.0), ("zoff", 0.5)]:
+        config.defrost()
+        config.DEBUG = 0
+        config.GPUS = [-1]
+        config.DATASET.RADAR_PC = True
+        config.DATASET.MAX_PC_DIST = 60.0
+        config.DATASET.PC_Z_OFFSET = z_offset
+        config.DATASET.PC_ROI_METHOD = "pillars"
+        config.DATASET.ONE_HOT_PC = False
+        config.DATASET.PC_REVERSE = True  # pillars (config/utils.py:31-33)
+        config.DATASET.PILLAR_DIMS = (1.5, 0.2, 0.2)
+        config.MODEL.INPUT_SIZE = (ih, iw)
+        config.MODEL.OUTPUT_SIZE = (oh, ow)
+        config.MODEL.PYRAMID_OUT_SIZE = [(oh, ow)]
+        ds = _ref_nuscenes_instance(config)
+
+        det = Detector.__new__(Detector)
+        det.config = config
+        det.dataset = ds
+        det.mean = np.array(ds.mean, np.float32).reshape(1, 1, 3)
+        det.std = np.array(ds.std, np.float32).reshape(1, 1, 3)
+        det.device = torch.device("cpu")
+
+        imgs = [
+            (rs.rand(H, W, 3) * 255).astype(np.uint8) for _ in range(2)
+        ]
+        calib = np.array([[120.0, 0, W / 2, 0], [0, 120.0, H / 2, 0],
+                          [0, 0, 1, 0]], np.float32)
+        infos = [{"calib": calib.tolist(),
+                  "camera_intrinsic": calib[:3, :3].tolist(),
+                  "width": W, "height": H} for _ in range(2)]
+        n = 35
+        z = rs.uniform(2.0, 70.0, n)  # some beyond MAX_PC_DIST
+        pc = np.zeros((18, n), np.float32)
+        pc[0] = rs.uniform(-0.6, 0.6, n) * z
+        pc[1] = rs.uniform(0.1, 1.2, n)
+        pc[2] = z
+        pc[8], pc[9] = rs.randn(n), rs.randn(n)
+        radars = [pc.copy(), pc[:, ::2].copy()]
+
+        (images, pc_deps, metas, calibs), _t = det.pre_process(
+            [im.copy() for im in imgs], infos, [r.copy() for r in radars])
+
+        blob[f"{tag}_img0"], blob[f"{tag}_img1"] = imgs
+        blob[f"{tag}_radar0"], blob[f"{tag}_radar1"] = radars
+        blob[f"{tag}_calib"] = calib
+        blob[f"{tag}_out_images"] = images.numpy()
+        blob[f"{tag}_out_pc_deps"] = pc_deps.numpy()
+        blob[f"{tag}_out_calibs"] = calibs.numpy()
+        blob[f"{tag}_mean"] = det.mean
+        blob[f"{tag}_std"] = det.std
+    blob["meta"] = np.array([H, W, ih, iw, oh, ow], np.int64)
+    np.savez(os.path.join(out_dir, "detector_preprocess.npz"), **blob)
+    print("wrote detector_preprocess.npz")
+
+
 def gen_eval_filter(torch, out_dir):
     """Eval box-filtering goldens by EXECUTING the reference's modified
     ``filter_eval_boxes`` (nuScenes_lib/loaders.py:248-341): the strict
@@ -2050,6 +2139,7 @@ def main():
     gen_generic_loss(torch, out_dir)
     gen_multisweep(torch, out_dir)
     gen_eval_filter(torch, out_dir)
+    gen_detector_preprocess(torch, out_dir)
     gen_model(torch, out_dir)
     gen_model(torch, out_dir, node="GlobalConv", tag="_globalconv")
     gen_model(torch, out_dir, fusion="early", tag="_early")

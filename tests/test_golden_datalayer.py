@@ -222,6 +222,55 @@ def test_radar_rasterize_matches_reference(method, onehot, maxdist):
 
 
 # ---------------------------------------------------------------------------
+# detector_preprocess.npz — serving host pre-process (detector.py:189-322)
+# ---------------------------------------------------------------------------
+
+
+@pytest.mark.parametrize("tag,z_offset", [("plain", 0.0), ("zoff", 0.5)])
+def test_detector_preprocess_matches_reference(tag, z_offset):
+    """The whole serving host side — multi-camera affine warp +
+    normalization, calib assembly, and the radar block (distance filter,
+    PC_Z_OFFSET, border-margin projection, depth sort, pillar rasterize) —
+    vs the EXECUTED reference Detector.pre_process."""
+    from centerfusiondetect3d_tpu.config import load_config
+    from centerfusiondetect3d_tpu.runtime.detector import Detector
+
+    g = _load("detector_preprocess.npz")
+    H, W, ih, iw, oh, ow = [int(v) for v in g["meta"]]
+    cfg = load_config(
+        opts=["MODEL.INPUT_SIZE", f"({ih}, {iw})",
+              "MODEL.DLA.NODE", "Conv",
+              "DATASET.PC_Z_OFFSET", str(z_offset),
+              "DATASET.MAX_PC_DIST", "60"],
+        num_classes=10,
+    )
+    assert cfg.DATASET.RADAR_PC and cfg.DATASET.PC_ROI_METHOD == "pillars"
+    det = Detector(cfg, batch_size=2)
+
+    imgs = [g[f"{tag}_img0"].copy(), g[f"{tag}_img1"].copy()]
+    radars = [g[f"{tag}_radar0"].copy(), g[f"{tag}_radar1"].copy()]
+    calib = g[f"{tag}_calib"]
+    infos = [{"calib": calib.tolist(),
+              "camera_intrinsic": calib[:3, :3].tolist(),
+              "width": W, "height": H} for _ in range(2)]
+    batch, metas = det.pre_process(imgs, infos, radars)
+
+    # our device program normalizes the uint8 warp with the same mean/std;
+    # composing it here must reproduce the reference's normalized tensor
+    mean, std = g[f"{tag}_mean"], g[f"{tag}_std"]
+    ours_norm = (batch["image"].astype(np.float32) / 255.0 - mean) / std
+    want = np.transpose(g[f"{tag}_out_images"], (0, 2, 3, 1))
+    np.testing.assert_allclose(ours_norm, want, atol=1e-4)
+
+    np.testing.assert_allclose(batch["pc_dep"],
+                               np.transpose(g[f"{tag}_out_pc_deps"],
+                                            (0, 2, 3, 1)),
+                               rtol=1e-4, atol=1e-4)
+    np.testing.assert_allclose(batch["calib"], g[f"{tag}_out_calibs"],
+                               atol=1e-5)
+
+
+# ---------------------------------------------------------------------------
 # eval_filter.npz — modified filter_eval_boxes (loaders.py)
 # ---------------------------------------------------------------------------
 
