@@ -1235,6 +1235,47 @@ def gen_eval_accumulate(torch, out_dir):
     print(f"wrote eval_accumulate.npz ({len(blob)} arrays)")
 
 
+def gen_legacy_names(torch, out_dir):
+    """Checkpoint name-modernization goldens by EXECUTING the reference
+    ``toggleWeightName(name, to="new")`` (model/model.py:165-250) over a
+    corpus covering every branch: upstream-v1 head prefixes (dep_sec./hm./
+    wh./...), bare oldv2 head names, the DCN up-node ``conv.weight`` regex
+    rename, actf->activation, conv.conv_offset_mask, and already-modern
+    names that must pass through unchanged."""
+    from model.model import toggleWeightName
+
+    corpus = [
+        # v1 upstream head names
+        "dep_sec.0.weight", "rot_sec.2.bias", "hm.0.weight", "wh.1.bias",
+        "dep.0.weight", "dim.0.weight", "rot.0.bias",
+        "amodel_offset.0.weight",
+        # oldv2 bare heads
+        "heatmap.0.weight", "reg.1.bias", "widthHeight.0.weight",
+        "depth.0.weight", "depth2.0.weight", "rotation.0.weight",
+        "rotation2.2.bias", "dimension.0.weight", "amodal_offset.0.weight",
+        "nuscenes_att.0.weight", "velocity.1.bias",
+        # DCN up-node legacy conv.{weight,bias}
+        "dla_up.ida_0.proj_1.conv.weight", "dla_up.ida_1.node_2.conv.bias",
+        "ida_up.proj_1.conv.weight", "ida_up.node_2.conv.bias",
+        # already-new up-node params (must NOT be rewritten)
+        "dla_up.ida_0.proj_1.weight", "ida_up.node_2.bias",
+        # offset conv + activation renames
+        "dla_up.ida_0.proj_1.conv.conv_offset_mask.weight",
+        "ida_up.node_1.actf.0.weight",
+        # modern names pass through
+        "detectHead_0.heatmap.0.weight", "base.base_layer.0.weight",
+        "detectHead_0.depth2.0.bias",
+        "base.level5.tree1.conv1.weight",
+    ]
+    mapping = {k: toggleWeightName(k, to="new") for k in corpus}
+    import json as _json
+
+    np.savez(os.path.join(out_dir, "legacy_names.npz"),
+             mapping_json=np.frombuffer(_json.dumps(mapping).encode(),
+                                        np.uint8))
+    print(f"wrote legacy_names.npz ({len(mapping)} names)")
+
+
 def gen_detector_preprocess(torch, out_dir):
     """Serving pre-process goldens by EXECUTING the reference
     ``Detector.pre_process`` (detector.py:189-322): multi-camera concat
@@ -2140,6 +2181,7 @@ def main():
     gen_multisweep(torch, out_dir)
     gen_eval_filter(torch, out_dir)
     gen_detector_preprocess(torch, out_dir)
+    gen_legacy_names(torch, out_dir)
     gen_model(torch, out_dir)
     gen_model(torch, out_dir, node="GlobalConv", tag="_globalconv")
     gen_model(torch, out_dir, fusion="early", tag="_early")

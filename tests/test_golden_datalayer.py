@@ -222,6 +222,25 @@ def test_radar_rasterize_matches_reference(method, onehot, maxdist):
 
 
 # ---------------------------------------------------------------------------
+# legacy_names.npz — toggleWeightName checkpoint modernization
+# ---------------------------------------------------------------------------
+
+
+def test_legacy_name_modernization_matches_reference():
+    """Our checkpoint importer's name modernization must agree with the
+    EXECUTED reference toggleWeightName(to="new") on every branch: v1 head
+    prefixes, oldv2 bare heads, the DCN up-node conv.{weight,bias} regex,
+    actf/offset-conv renames, and modern passthroughs."""
+    from centerfusiondetect3d_tpu.training.checkpoint import modernize_torch_key
+
+    g = _load("legacy_names.npz")
+    mapping = json.loads(bytes(g["mapping_json"]).decode())
+    for old, new in mapping.items():
+        got = modernize_torch_key(old)
+        assert got == new, (old, got, new)
+
+
+# ---------------------------------------------------------------------------
 # detector_preprocess.npz — serving host pre-process (detector.py:189-322)
 # ---------------------------------------------------------------------------
 
