@@ -171,6 +171,8 @@ def main(argv=None):
         ret = detector.run(frames, infos, radars)
 
         pc_hm = ret["extras"].get("pc_hm")
+        if pc_hm is not None:
+            pc_hm = np.asarray(pc_hm)  # extras arrive as device arrays
         tiles = []
         for ci in range(min(6, len(frames))):
             calib = np.array(infos[ci]["calib"], np.float32)

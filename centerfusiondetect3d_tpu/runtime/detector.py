@@ -641,9 +641,13 @@ class Detector:
         t.stop("merge")
 
         t.stop("total")
+        # extras (depthMap / pc_hm feature maps) stay as DEVICE arrays:
+        # fetching them eagerly costs 1-2 extra device->host transfers per
+        # frame (~MBs; hundreds of ms on a high-latency link) that only the
+        # visualization consumers need — they np.asarray on use
         return {
             "results": results,
             "metas": metas,
-            "extras": jax.tree.map(np.asarray, extras),
+            "extras": extras,
             "times": t.summary(),
         }
