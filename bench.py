@@ -242,13 +242,27 @@ def main():
     for _ in range(WARMUP):
         np.asarray(infer(variables, image, pc_dep, calib)["scores"])
 
-    # pipelined throughput: keep 2 steps in flight so the host-side result
-    # fetch overlaps device compute (profiling shows the transfer latency
-    # otherwise serializes after each step); every result is still fetched.
-    # Best of 2 timed passes, like the e2e metric: a single pass is at the
-    # mercy of transient tunnel latency / host-load spikes on this 1-core
-    # host (observed 133->87 fps under a concurrent pytest run).
-    depth = 2
+    # measure the tunnel round-trip so a wedged link is visible in the
+    # recorded JSON (observed: the same code measures 133 fps device / 25+
+    # fps e2e on a healthy link and a fraction of that when the tunnel
+    # degrades mid-run)
+    tiny = jax.jit(lambda a: a + 1.0)
+    x1 = jnp.ones((8,))
+    np.asarray(tiny(x1))
+    rtts = []
+    for _ in range(5):
+        t0 = time.perf_counter()
+        np.asarray(tiny(x1))
+        rtts.append((time.perf_counter() - t0) * 1e3)
+    link_rtt_ms = round(sorted(rtts)[len(rtts) // 2], 1)
+
+    # pipelined throughput: keep several steps in flight so the host-side
+    # result fetch overlaps device compute (profiling shows the transfer
+    # latency otherwise serializes after each step); every result is still
+    # fetched. Best of 2 timed passes, like the e2e metric: a single pass is
+    # at the mercy of transient tunnel latency / host-load spikes on this
+    # 1-core host (observed 133->87 fps under a concurrent pytest run).
+    depth = 4
     fps = 0.0
     for _ in range(2):
         t0 = time.perf_counter()
@@ -276,6 +290,7 @@ def main():
                 "vs_baseline": round(fps / REFERENCE_FPS, 3),
                 "eval_fps_e2e_pipeline": e2e_fps,
                 "e2e_stage_ms": e2e_stage_ms,
+                "link_rtt_ms": link_rtt_ms,
             }
         )
     )
