@@ -423,11 +423,16 @@ class Detector:
     def merge_outputs(self, processed) -> Dict[int, List[dict]]:
         t0 = _time.perf_counter()
         npx = _fetch_packed(processed)  # blocks on the device program
+        return self._merge_fetched(npx, _time.perf_counter() - t0)
+
+    def _merge_fetched(self, npx, fetch_s: float) -> Dict[int, List[dict]]:
+        """Shared run()/run_stream() tail: host detections -> result dicts
+        plus fetch/merge stage accounting."""
         t1 = _time.perf_counter()
         out = detections_to_results(
             npx, list(range(len(npx["scores"]))), conf_thresh=-1.0
         )
-        self._acc_stage("fetch", t1 - t0)
+        self._acc_stage("fetch", fetch_s)
         self._acc_stage("merge", _time.perf_counter() - t1)
         return out
 
@@ -590,12 +595,7 @@ class Detector:
         else:
             npx = _unpack_detections(packed, {k: np.asarray(v)
                                               for k, v in rest.items()})
-        t1 = _time.perf_counter()
-        results = detections_to_results(
-            npx, list(range(len(npx["scores"]))), conf_thresh=-1.0
-        )
-        self._acc_stage("fetch", t1 - t0)
-        self._acc_stage("merge", _time.perf_counter() - t1)
+        results = self._merge_fetched(npx, _time.perf_counter() - t0)
         return {"results": results, "metas": metas, "extras": extras}
 
     # ------------------------------------------------------------------ run

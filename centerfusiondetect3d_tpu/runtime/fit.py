@@ -406,7 +406,15 @@ class Trainer:
         )
         self.metrics.scalars({k: m.avg for k, m in meters.items()}, prefix="val/")
 
-        if self.dataset_val is not None and hasattr(self.dataset_val, "run_eval"):
+        from ..parallel import is_main_process
+
+        if (self.dataset_val is not None
+                and hasattr(self.dataset_val, "run_eval")
+                and is_main_process()):
+            # rank-0-only scoring, like the reference (progressBar.py:293):
+            # after the allgather merge every rank holds identical results,
+            # and concurrent run_eval/metrics writes into the SAME
+            # output_dir would race on mAR.csv / metrics files
             try:
                 _, summaries = self.dataset_val.run_eval(results, self.output_dir)
                 if summaries:

@@ -36,7 +36,12 @@ def _infer_num_classes(state_dict) -> Optional[int]:
     """Heatmap tower's final conv out-channels == number of classes."""
     best = None
     for k, v in state_dict.items():
-        m = re.match(r"(?:module\.|model\.)?(detectHead_0\.heatmap|hm)\.(\d+)\.weight$", k)
+        # modern, v1 ('hm.'), and oldv2 bare ('heatmap.') key formats — the
+        # same three generations modernize_torch_key accepts
+        m = re.match(
+            r"(?:module\.|model\.)?(detectHead_0\.heatmap|hm|heatmap)\.(\d+)\.weight$",
+            k,
+        )
         if m and getattr(v, "ndim", 0) == 4:
             idx = int(m.group(2))
             if best is None or idx > best[0]:

@@ -45,13 +45,28 @@ def enable_compilation_cache(cache_dir: str = "") -> str:
     cache_dir = cache_dir or DEFAULT_CACHE_DIR
     # TPU executables are host-independent (compiled for the chip) and stay
     # in the shared top-level dir; CPU-platform runs get a per-host subdir.
-    platforms = ""
+    # Decide by the RESOLVED backend, not the platform string: the axon
+    # environment sets jax_platforms='axon,cpu' (cpu as fallback), so a
+    # substring test would shunt host-independent TPU executables into the
+    # per-host partition and every new host would recompile everything
+    # (observed: a whole session's TPU programs, ~200 MB, filed under
+    # cpu-<host>). default_backend() also covers auto-selected CPU on
+    # accelerator-less hosts, whose AOT executables are ISA-specific (the
+    # SIGILL case the partition exists for).
+    on_cpu = False
     try:
-        platforms = jax.config.jax_platforms or ""
+        on_cpu = jax.default_backend() == "cpu"
     except Exception:
-        pass
-    platforms = platforms or os.environ.get("JAX_PLATFORMS", "") or ""
-    if "cpu" in [p.strip() for p in platforms.split(",") if p.strip()]:
+        platforms = ""
+        try:
+            platforms = jax.config.jax_platforms or ""
+        except Exception:
+            pass
+        platforms = platforms or os.environ.get("JAX_PLATFORMS", "") or ""
+        first = next((p.strip() for p in platforms.split(",") if p.strip()),
+                     "")
+        on_cpu = first == "cpu"
+    if on_cpu:
         cache_dir = os.path.join(cache_dir, "cpu-" + _host_cache_tag())
     os.makedirs(cache_dir, exist_ok=True)
     try:
