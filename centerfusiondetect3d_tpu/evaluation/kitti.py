@@ -371,6 +371,152 @@ def nuscenes_gt_to_kitti(dataroot: str, version: str, split: str,
     return tokens
 
 
+# --------------------------------------------------------------------------
+# rendering (export_kitti.py:245-269, utils_kitti.py:441-552)
+# --------------------------------------------------------------------------
+
+# per-detection-class BGR colors (analogue of NuScenesExplorer.get_color)
+_CLASS_COLORS = {
+    "car": (80, 160, 255), "truck": (60, 120, 220), "bus": (40, 90, 200),
+    "trailer": (90, 200, 250), "construction_vehicle": (0, 200, 230),
+    "pedestrian": (255, 158, 0), "motorcycle": (200, 60, 255),
+    "bicycle": (255, 61, 99), "traffic_cone": (0, 61, 255),
+    "barrier": (112, 128, 144),
+}
+
+
+def _class_color(name: str):
+    if name in _CLASS_COLORS:
+        return _CLASS_COLORS[name]
+    h = abs(hash(name))
+    return (64 + h % 160, 64 + (h // 7) % 160, 64 + (h // 49) % 160)
+
+
+def _label_boxes(label_path: str) -> List[dict]:
+    """Parsed label lines minus DontCare/Misc (utils_kitti.py:293-294)."""
+    if not os.path.exists(label_path):
+        return []
+    with open(label_path) as f:
+        boxes = [parse_label_line(line) for line in f if line.strip()]
+    return [b for b in boxes if b["name"] not in ("DontCare", "Misc")]
+
+
+def render_kitti(kitti_dir: str, split: str, out_dir: Optional[str] = None,
+                 tokens: Optional[List[str]] = None, render_2d: bool = False,
+                 axes_limit: float = 30.0, image_count: Optional[int] = None,
+                 imsize: Tuple[int, int] = (1600, 900),
+                 canvas_px: int = 900) -> List[str]:
+    """Render KITTI-dir samples to ``{out_dir}/{token}_{lidar,camera}.png``.
+
+    Native cv2 analogue of ``KittiConverter.render_kitti``
+    (export_kitti.py:245-269) + ``KittiDB.render_sample_data``
+    (utils_kitti.py:441-552): the lidar view is a BEV scatter of the
+    velodyne points in the nuScenes lidar frame (±``axes_limit`` m) with box
+    footprints and heading ticks; the camera view is ``image_2/<token>.png``
+    when present (else a blank ``imsize`` canvas) with either the label's 2D
+    boxes (``render_2d=True``) or the 3D wireframes projected through P2.
+    Returns the written paths.
+    """
+    import cv2
+
+    out_dir = out_dir or os.path.join(kitti_dir, "render")
+    os.makedirs(out_dir, exist_ok=True)
+    label_dir = os.path.join(kitti_dir, split, "label_2")
+    calib_dir = os.path.join(kitti_dir, split, "calib")
+    velo_dir = os.path.join(kitti_dir, split, "velodyne")
+    image_dir = os.path.join(kitti_dir, split, "image_2")
+    if tokens is None:
+        sets = os.path.join(kitti_dir, "ImageSets", f"{split}.txt")
+        if os.path.exists(sets):
+            with open(sets) as f:
+                tokens = [t.strip() for t in f if t.strip()]
+        else:
+            tokens = sorted(os.path.splitext(p)[0]
+                            for p in os.listdir(calib_dir))
+    if image_count is not None:
+        tokens = tokens[:image_count]
+
+    scale = canvas_px / (2.0 * axes_limit)
+
+    def to_px(x: float, y: float) -> Tuple[int, int]:
+        # BEV: ego at center, x (forward) up, y (left) leftward
+        return (int(round(canvas_px / 2 - y * scale)),
+                int(round(canvas_px / 2 - x * scale)))
+
+    paths: List[str] = []
+    for token in tokens:
+        calib = read_calib_file(os.path.join(calib_dir, token + ".txt"))
+        p2, vc = calib["P2"], calib["Tr_velo_to_cam"]
+        vc_rot_q = quat.from_rotation_matrix(vc[:3, :3])
+        vc_trans = vc[:3, 3]
+        boxes = _label_boxes(os.path.join(label_dir, token + ".txt"))
+
+        # ---- lidar BEV (utils_kitti.py:501-525) ----
+        bev = np.full((canvas_px, canvas_px, 3), 24, np.uint8)
+        velo_path = os.path.join(velo_dir, token + ".bin")
+        if os.path.exists(velo_path):
+            pts = np.fromfile(velo_path, np.float32).reshape(-1, 4)
+            # KITTI lidar -> nuScenes lidar (the reference renders lidar in
+            # the nuScenes frame, utils_kitti.py:505)
+            xyz = (quat.rotation_matrix(KITTI_TO_NU_LIDAR) @ pts[:, :3].T).T
+            inten = pts[:, 3]
+            rng = inten.max() - inten.min()
+            shade = (80 + 175 * (inten - inten.min())
+                     / (rng if rng > 0 else 1.0)).astype(np.uint8)
+            for (x, y, _), s in zip(xyz, shade):
+                if abs(x) < axes_limit and abs(y) < axes_limit:
+                    cv2.circle(bev, to_px(x, y), 1, (int(s),) * 3, -1)
+        cv2.drawMarker(bev, to_px(0.0, 0.0), (255, 255, 255),
+                       cv2.MARKER_TRIANGLE_UP, 12, 1)
+        for b in boxes:
+            q_cam = quat.from_axis_angle([0.0, 1.0, 0.0], b["yaw_camera"])
+            center, wlh, q_lid = box_kitti_to_nuscenes_lidar(
+                b["xyz_camera"], b["wlh"], q_cam, vc_rot_q, vc_trans)
+            corners = box_corners_camera(center, wlh, q_lid)
+            # bottom-face footprint ring (corner layout: 2,3 front-bottom,
+            # 6,7 rear-bottom) + a heading tick to the front-face middle
+            ring = [3, 2, 6, 7]
+            pix = [to_px(corners[i, 0], corners[i, 1]) for i in ring]
+            color = _class_color(b["name"])
+            cv2.polylines(bev, [np.array(pix, np.int32)], True, color, 2)
+            front = corners[[2, 3], :2].mean(0)
+            cv2.line(bev, to_px(*center[:2]), to_px(*front), color, 1)
+        lid_path = os.path.join(out_dir, f"{token}_lidar.png")
+        cv2.imwrite(lid_path, bev)
+        paths.append(lid_path)
+
+        # ---- camera (utils_kitti.py:528-552) ----
+        img_path = os.path.join(image_dir, token + ".png")
+        img = cv2.imread(img_path) if os.path.exists(img_path) else None
+        if img is None:
+            img = np.full((imsize[1], imsize[0], 3), 40, np.uint8)
+        for b in boxes:
+            color = _class_color(b["name"])
+            if render_2d:
+                x1, y1, x2, y2 = (int(round(v)) for v in b["bbox_camera"])
+                cv2.rectangle(img, (x1, y1), (x2, y2), color, 2)
+                continue
+            q_cam = quat.from_axis_angle([0.0, 1.0, 0.0], b["yaw_camera"])
+            true_center = np.asarray(b["xyz_camera"], np.float64) - np.array(
+                [0.0, b["wlh"][2] / 2.0, 0.0])
+            corners = box_corners_camera(true_center, b["wlh"], q_cam)
+            if (corners[:, 2] <= 0.1).any():
+                continue  # BoxVisibility-style skip for behind-camera boxes
+            pts3 = (p2[:3, :3] @ corners.T) + p2[:3, 3:4]
+            corners_2d = (pts3[:2] / pts3[2]).T
+            if (corners_2d[:, 0].max() < 0 or corners_2d[:, 1].max() < 0
+                    or corners_2d[:, 0].min() >= img.shape[1]
+                    or corners_2d[:, 1].min() >= img.shape[0]):
+                continue
+            from ..utils.visualize import draw_box_3d
+
+            draw_box_3d(img, corners_2d, color=color)
+        cam_path = os.path.join(out_dir, f"{token}_camera.png")
+        cv2.imwrite(cam_path, img)
+        paths.append(cam_path)
+    return paths
+
+
 def kitti_results_to_nuscenes(kitti_dir: str, split: str, dataroot: str,
                               version: str,
                               lidar_channel: str = "LIDAR_TOP",

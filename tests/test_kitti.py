@@ -154,3 +154,30 @@ def test_gt_export_and_submission_roundtrip(raw_root, tmp_path):  # noqa: F811
     assert min(np.abs(qg - [1, 0, 0, 0]).max(),
                np.abs(qg + [1, 0, 0, 0]).max()) < 0.02
     assert (tmp_path / "sub.json").exists()
+
+
+def test_render_kitti(raw_root, tmp_path):  # noqa: F811
+    out = str(tmp_path / "kitti")
+    kitti.nuscenes_gt_to_kitti(raw_root, "v1.0-mini", "mini_train", out,
+                               imsize=(400, 300))
+    paths = kitti.render_kitti(out, "mini_train", image_count=1,
+                               imsize=(400, 300))
+    import os
+
+    import cv2
+
+    assert [os.path.basename(p) for p in paths] == [
+        "sa0_lidar.png", "sa0_camera.png"]
+    bev = cv2.imread(paths[0])
+    assert bev.shape == (900, 900, 3)
+    # the box footprint and lidar points leave non-background pixels
+    assert (bev != 24).any()
+    cam = cv2.imread(paths[1])
+    assert cam.shape == (300, 400, 3)
+    assert (cam != 40).any()
+    # 2D mode draws the label's bbox rectangle on a fresh canvas
+    paths2d = kitti.render_kitti(out, "mini_train", out_dir=str(tmp_path / "r2"),
+                                 render_2d=True, image_count=1,
+                                 imsize=(400, 300))
+    cam2d = cv2.imread(paths2d[1])
+    assert (cam2d != 40).any()
