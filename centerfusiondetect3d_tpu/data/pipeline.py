@@ -92,12 +92,15 @@ class Loader:
             # counts deadlock the SPMD collectives on the extra step
             pad = (-len(idx)) % ns
             if pad:
-                idx = np.concatenate([idx, idx[:pad]])
+                # np.resize tiles cyclically, so the pad is correct even when
+                # pad > len(idx) (tiny dataset, many shards) — a single
+                # idx[:pad] slice would under-pad and desync shard lengths
+                idx = np.resize(idx, len(idx) + pad)
             idx = idx[sid::ns]
-        if self.pad_to_batch:
+        if self.pad_to_batch and len(idx):
             pad = (-len(idx)) % self.batch_size
             if pad:
-                idx = np.concatenate([idx, idx[:pad]])
+                idx = np.resize(idx, len(idx) + pad)
         return idx
 
     def _build(self, index: int, sample_seed: int):

@@ -280,6 +280,7 @@ class Trainer:
         eval_mesh = self.mesh
         if multiproc:
             eval_mesh = make_mesh(devices=jax.local_devices())
+        default_loader = loader is None
         if loader is None:
             shard = (
                 (jax.process_index(), jax.process_count()) if multiproc else None
@@ -322,6 +323,7 @@ class Trainer:
             )
 
         results: Dict[int, list] = {}
+        seen = 0  # rank-local image counter for the no-meta id fallback
         meters = defaultdict(AverageMeter)
         oh, ow = cfg.MODEL.OUTPUT_SIZE
         viz = None
@@ -350,11 +352,23 @@ class Trainer:
             meters["total"].update(float(loss))
             for k_, v in parts.items():
                 meters[k_].update(float(v))
-            img_ids = (
-                np.asarray(meta["img_id"]).tolist()
-                if meta is not None
-                else list(range(len(results), len(results) + batch["image"].shape[0]))
-            )
+            if meta is not None:
+                img_ids = np.asarray(meta["img_id"]).tolist()
+            elif multiproc and default_loader and self.dataset_val is not None:
+                # no-meta fallback under the default sharded loader: invert
+                # the unshuffled strided-pad index stream (pipeline.py
+                # _indices) so ids are TRUE dataset indices — rank-local
+                # counters would repeat across ranks and collapse in the
+                # allgather merge, and synthetic ids would leak the pad
+                # duplicates as extra images
+                pid, nproc = jax.process_index(), jax.process_count()
+                n = len(self.dataset_val)
+                m = -(-n // nproc)  # padded per-rank shard length
+                img_ids = [int((pid + nproc * ((seen + i) % m)) % n)
+                           for i in range(nimg)]
+            else:
+                img_ids = list(range(seen, seen + nimg))
+            seen += nimg
             # one tunnel transfer for all detection tensors (axon fetch
             # round trips otherwise dominate val wall time; detector.py)
             from .detector import _fetch_packed

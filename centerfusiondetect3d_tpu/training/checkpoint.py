@@ -492,10 +492,15 @@ def export_torch_checkpoint(path: str, params, batch_stats, *, epoch: int = -1,
     history = history or {}
     for split in ("train", "val"):
         log = history.get(split) or {}
-        ckpt[split] = {
-            head: {i + 1: float(v) for i, v in enumerate(values)}
-            for head, values in log.items()
-        }
+        ckpt[split] = {}
+        for head, values in log.items():
+            # align keys to the checkpoint's actual epoch range: a resumed
+            # run carries only the post-resume tail of the history, so the
+            # last entry must land on `epoch`, not on len(values)
+            start = epoch - len(values) + 1 if epoch >= len(values) else 1
+            ckpt[split][head] = {
+                start + i: float(v) for i, v in enumerate(values)
+            }
     ckpt.update(extra or {})
     torch.save(ckpt, path)
     return path

@@ -377,9 +377,12 @@ def test_export_torch_checkpoint_roundtrip(tmp_path, model_setup):
     import torch
 
     raw = torch.load(path, map_location="cpu", weights_only=False)
-    # reference dict shape: epoch-keyed loss dicts + passthrough extras
+    # reference dict shape: epoch-keyed loss dicts + passthrough extras;
+    # keys align to the checkpoint's epoch range (a resumed run carries only
+    # the post-resume tail, so the last entry lands on `epoch`)
     assert raw["epoch"] == 12
-    assert raw["train"]["total"] == {1: 2.0, 2: 1.0}
+    assert raw["train"]["total"] == {11: 2.0, 12: 1.0}
+    assert raw["val"]["total"] == {12: 1.5}
     assert raw["wandb_id"] == "run-abc"
 
     zeros_p = jax.tree.map(lambda x: np.zeros_like(np.asarray(x)),

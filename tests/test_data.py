@@ -246,3 +246,35 @@ def test_loader_pad_to_batch_with_drop_last():
         # 5 indices padded to 8 by repeating leading ones; all full batches
         assert ids == [0, 1, 2, 3, 4, 0, 1, 2]
         assert all(b["idx"].shape[0] == 4 for b in batches)
+
+
+def test_loader_shard_padding_tiny_dataset():
+    """pad > len(dataset): the cyclic tile keeps every shard the same
+    length (a one-shot idx[:pad] slice would under-pad and desync the
+    per-rank batch counts, deadlocking the SPMD eval collectives)."""
+    from centerfusiondetect3d_tpu.data.pipeline import Loader
+
+    class DS:
+        def __len__(self):
+            return 3
+
+        def get_item(self, i, rng=None):
+            return {"idx": np.array([i], np.int64)}
+
+    counts = []
+    for sid in range(8):
+        loader = Loader(DS(), 1, shuffle=False, drop_last=False,
+                        num_threads=1, drop_keys=(), shard=(sid, 8))
+        ids = [int(v) for b in loader for v in b["idx"][:, 0]]
+        assert len(ids) == len(loader) == 1
+        counts.append(ids)
+    # 3 indices tiled to 8: 0 1 2 0 1 2 0 1
+    assert [c[0] for c in counts] == [0, 1, 2, 0, 1, 2, 0, 1]
+
+    # pad_to_batch with batch_size > 2x the shard length tiles too
+    loader = Loader(DS(), batch_size=4, shuffle=False, num_threads=1,
+                    drop_keys=(), drop_last=False, shard=(0, 2),
+                    pad_to_batch=True)
+    batches = list(loader)
+    assert len(batches) == len(loader) == 1
+    assert batches[0]["idx"].shape[0] == 4  # 2-index shard tiled to 4

@@ -234,6 +234,19 @@ _VAL_WORKER = textwrap.dedent(
                         for d in v]
                for k, v in sorted(results.items())}}
     print(f"RESULTS{{pid}}=" + json.dumps(digest))
+
+    # no-meta fallback ids: the rank-strided formula pid + nproc*k equals
+    # the unshuffled strided-shard dataset index, so the merged dict still
+    # covers exactly 0..5 with no cross-rank collisions
+    class NoMetaDS(TinyDS):
+        def get_item(self, i, rng=None):
+            item = TinyDS.get_item(self, i, rng)
+            item.pop("meta")
+            return item
+
+    trainer.dataset_val = NoMetaDS(6, cfg)
+    results2 = trainer.val()
+    assert sorted(results2) == list(range(6)), sorted(results2)
     """
 ).format(repo=os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
