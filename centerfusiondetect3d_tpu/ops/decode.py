@@ -136,6 +136,14 @@ def fusion_decode(outputs, output_size, k: int = 100, norm2d: bool = False,
                 pieces.append(gather_feature(out[key], inds_l))
         if not pieces:
             return None
+        if len(pieces) != len(outputs):
+            # merged indices range over [0, K*L); gathering a shorter concat
+            # would be silently clamped by take_along_axis (torch.gather
+            # raises here) — every pyramid layer must carry the same heads
+            raise ValueError(
+                f"head '{name}' present in only {len(pieces)} of "
+                f"{len(outputs)} pyramid layers"
+            )
         return jnp.concatenate(pieces, axis=1)  # (B, K*L, C)
 
     def merge(feat):
@@ -143,11 +151,14 @@ def fusion_decode(outputs, output_size, k: int = 100, norm2d: bool = False,
         idx = jnp.broadcast_to(indices[..., None], (batch, indices.shape[1], c))
         return jnp.take_along_axis(feat, idx, axis=1)
 
-    # uncertainty multiplies scores (decode.py:80-85)
-    unc = concat_layers("uncertainty")
-    if unc is not None:
-        conf = jnp.exp(-jnp.exp(merge(unc)))[..., 0]
-        ret["scores"] = ret["scores"] * conf
+    # uncertainty multiplies the MERGED scores by each layer's conf gathered
+    # at that layer's own unmerged top-k indices — reproduced verbatim from
+    # the reference (decode.py:79-85), row misalignment and all: with L>1
+    # the conf rows follow per-layer top-k order, not merged order
+    for out, (_, inds_l, *_rest) in zip(outputs, layer_tops):
+        if "uncertainty" in out:
+            conf_l = gather_feature(out["uncertainty"], inds_l)  # (B, K, 1)
+            ret["scores"] = ret["scores"] * jnp.exp(-jnp.exp(conf_l[..., 0]))
 
     out_h, out_w = output_size
     size_scale = (

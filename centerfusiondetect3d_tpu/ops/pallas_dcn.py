@@ -422,7 +422,9 @@ def _fast_bwd(max_offset, interpret, res, g):
     _, vjp = jax.vjp(f, x, offset, mask, weight,
                      bias if has_bias else jnp.zeros((weight.shape[-1],),
                                                      weight.dtype))
-    dx, doff, dmask, dw, db = vjp(g.astype(jnp.float32))
+    # g already carries the primal output dtype; casting it (e.g. to f32)
+    # makes jax.vjp reject the cotangent under bf16 mixed precision
+    dx, doff, dmask, dw, db = vjp(g)
     return dx, doff, dmask, dw, (db if has_bias else None)
 
 

@@ -11,6 +11,7 @@ from __future__ import annotations
 
 import jax.numpy as jnp
 
+from ..geometry.affine import apply_affine
 from ..geometry.transforms3d import get_alpha, get_3d_box, img_to_cam_coord
 
 
@@ -39,7 +40,7 @@ def post_process(y: dict, trans_mat, output_size, calibs, is_gt: bool = False) -
 
     def affine(points):  # (B, ..., 2) -> (B, ..., 2)
         if trans_mat.ndim == 2:
-            return points @ trans_mat[:, :2].T + trans_mat[:, 2]
+            return apply_affine(points, trans_mat, xp=jnp)
         lin, off = trans_mat[:, :, :2], trans_mat[:, :, 2]
         b = points.shape[0]
         flat = points.reshape(b, -1, 2)

@@ -16,13 +16,25 @@ import jax.numpy as jnp
 SYMMETRIC_HEADS = ("heatmap", "widthHeight", "depth", "depth2", "dimension", "depthMap")
 
 
-def flip_forward(model_apply, variables, image, pc_hm, pc_dep, calib):
+def flip_forward(model_apply, variables, image, pc_hm, pc_dep, calib,
+                 out_width: int = 0):
     """Run the model on [x; flip(x)] and fuse the two views.
 
     model_apply(variables, image, pc_hm, pc_dep, calib) -> list of head dicts.
     Radar maps are mirrored alongside the image (x velocity negated).
+
+    ``out_width``: width of the OUTPUT feature plane (defaults to input
+    width // 4, the stride-4 head). The mirror half's calib gets its
+    principal-point column replaced by ``out_width - cx`` so the frustum
+    association's yaw term negates cleanly: the frustum mixes output-plane
+    box centers with the raw calib (reference pointcloud.py:345-381 quirk,
+    reproduced in ops/frustum.py), and with xs_mirror = out_width - xs the
+    unique cx' satisfying (xs_mirror - cx') = -(xs - cx) is out_width - cx —
+    keeping the mirror view's distance threshold equal to the original's.
     """
     flipped = image[:, :, ::-1, :]
+    if not out_width:
+        out_width = image.shape[2] // 4
 
     def flip_pc(pc):
         if pc is None:
@@ -36,7 +48,11 @@ def flip_forward(model_apply, variables, image, pc_hm, pc_dep, calib):
     big_image = jnp.concatenate([image, flipped], axis=0)
     big_pc_hm = None if pc_hm is None else jnp.concatenate([pc_hm, flip_pc(pc_hm)], axis=0)
     big_pc_dep = None if pc_dep is None else jnp.concatenate([pc_dep, flip_pc(pc_dep)], axis=0)
-    big_calib = None if calib is None else jnp.concatenate([calib, calib], axis=0)
+    if calib is None:
+        big_calib = None
+    else:
+        calib_m = calib.at[:, 0, 2].set(out_width - calib[:, 0, 2])
+        big_calib = jnp.concatenate([calib, calib_m], axis=0)
 
     outputs = model_apply(variables, big_image, big_pc_hm, big_pc_dep, big_calib)
     b = image.shape[0]

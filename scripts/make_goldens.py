@@ -202,6 +202,12 @@ def gen_decode(torch, out_dir):
     for name, layers in [
         ("decode_single_layer", [heads(1, secondary=True)]),
         ("decode_two_layer", [heads(2), heads(3)]),
+        # uncertainty in BOTH layers: pins the reference's per-layer score
+        # multiplication at each layer's own (unmerged) top-k indices
+        # (decode.py:79-85 — the conf rows are misaligned with the merged
+        # order, reproduced verbatim)
+        ("decode_two_layer_unc", [heads(4, secondary=True),
+                                  heads(5, secondary=True)]),
     ]:
         t_layers = [
             {k2: torch.from_numpy(v) for k2, v in lay.items()} for lay in layers

@@ -161,3 +161,21 @@ def test_fusion_decode_two_layers_merge(rng):
     np.testing.assert_allclose(
         np.asarray(ret["depth"][1, 0]), out2["depth"][1, 8, 10], rtol=1e-6
     )
+
+
+def test_fusion_decode_rejects_partial_heads():
+    """A head present in only a subset of pyramid layers must raise: the
+    merged indices span [0, K*L) and take_along_axis would silently clamp
+    where torch.gather raises (reference decode.py:134-141)."""
+    import jax.numpy as jnp
+    import pytest
+
+    from centerfusiondetect3d_tpu.ops import fusion_decode
+
+    r = np.random.RandomState(0)
+    h, w = 8, 12
+    l0 = {"heatmap": jnp.asarray(r.rand(1, h, w, 3), jnp.float32),
+          "reg": jnp.asarray(r.randn(1, h, w, 2), jnp.float32)}
+    l1 = {"heatmap": jnp.asarray(r.rand(1, h, w, 3), jnp.float32)}
+    with pytest.raises(ValueError, match="reg"):
+        fusion_decode([l0, l1], (h, w), k=4)

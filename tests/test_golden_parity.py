@@ -53,6 +53,9 @@ def _layers_from(blob, n):
     # bit-for-bit — the accuracy precondition for APPROX_TOPK serving
     ("decode_single_layer.npz", 1, True),
     ("decode_two_layer.npz", 2, True),
+    # uncertainty in both layers: the per-layer conf multiplication happens
+    # at each layer's own top-k indices (reference decode.py:79-85)
+    ("decode_two_layer_unc.npz", 2, False),
 ])
 def test_fusion_decode_matches_reference(name, nlayers, approx):
     from centerfusiondetect3d_tpu.ops import fusion_decode

@@ -124,3 +124,26 @@ def test_deform_conv2d_fast_gradients_match_xla(rng):
         np.testing.assert_allclose(
             np.asarray(g_fast[k]), np.asarray(g_xla[k]), atol=0.5, rtol=0.05
         )
+
+
+def test_deform_conv2d_fast_gradients_bf16(rng):
+    """bf16 mixed precision: the custom vjp must accept the bf16 cotangent
+    (a float32 cast inside _fast_bwd used to raise ValueError, making the
+    pallas impl untrainable under MIXED_PRECISION)."""
+    x, offset, mask, weight, bias = _inputs(rng, b=1, h=6, w=7, c=4, o=4,
+                                            off_scale=1.0)
+    p = {"x": x.astype(jnp.bfloat16), "off": offset.astype(jnp.bfloat16),
+         "mask": mask.astype(jnp.bfloat16), "w": weight.astype(jnp.bfloat16),
+         "b": bias.astype(jnp.bfloat16)}
+
+    def loss(p):
+        out = deform_conv2d_fast(p["x"], p["off"], p["mask"], p["w"],
+                                 p["b"], 8.0, True)
+        return jnp.sum((out * out).astype(jnp.float32))
+
+    g = jax.grad(loss)(p)
+    for k in p:
+        arr = np.asarray(g[k], np.float32)
+        assert arr.dtype == np.float32 and np.isfinite(arr).all()
+        assert g[k].dtype == p[k].dtype
+    assert float(np.abs(np.asarray(g["w"], np.float32)).sum()) > 0

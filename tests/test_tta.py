@@ -53,3 +53,31 @@ def test_norm_eval_freezes_backbone_bn(rng):
     before = np.asarray(variables["batch_stats"]["base"]["base_layer"]["bn"]["mean"])
     after = np.asarray(updates["batch_stats"]["base"]["base_layer"]["bn"]["mean"])
     np.testing.assert_array_equal(before, after)  # frozen backbone stats
+
+
+def test_flip_forward_mirrors_calib_principal_point():
+    """The mirror half must see cx' = out_width - cx so the frustum yaw term
+    negates cleanly (ops/tta.py docstring); other calib entries unchanged."""
+    import jax.numpy as jnp
+
+    seen = {}
+
+    def apply(variables, image, pc_hm, pc_dep, calib):
+        seen["calib"] = np.asarray(calib)
+        b = image.shape[0]
+        return [{"heatmap": jnp.zeros((b, 4, 8, 3), jnp.float32)}]
+
+    image = jnp.asarray(np.random.RandomState(0).randn(2, 16, 32, 3),
+                        jnp.float32)
+    calib = jnp.asarray(
+        np.tile(np.array([[400.0, 0, 13.0, 0], [0, 400.0, 7.0, 0],
+                          [0, 0, 1, 0]], np.float32), (2, 1, 1)))
+    flip_forward(apply, {}, image, None, None, calib)
+    got = seen["calib"]
+    ow = 32 // 4
+    assert np.allclose(got[:2, 0, 2], 13.0)
+    assert np.allclose(got[2:, 0, 2], ow - 13.0)
+    # everything but the principal-point column is shared
+    mask = np.ones((3, 4), bool)
+    mask[0, 2] = False
+    assert np.array_equal(got[:2][:, mask], got[2:][:, mask])
