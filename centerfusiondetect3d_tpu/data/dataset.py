@@ -185,6 +185,16 @@ class GenericDataset:
             pc_hm[..., :s] = 1.0 - pc_hm[..., :s] / cfg.DATASET.MAX_PC_DIST
             item["pc_hm"] = pc_hm
 
+        if float(cfg.LOSS_WEIGHTS.get("BBOX_3D", 0.0)) > 0:
+            # inverse output->original affine for the bbox3d decode loss:
+            # the reference derives ONE matrix from batch meta at loss time
+            # (genericLoss.py:70-77); here each sample carries its own
+            # (documented improvement — per-sample aug means per-sample
+            # matrices; GenericLoss accepts (2,3) or (B,2,3))
+            item["trans_mat"] = get_affine_transform(
+                center, scale, rotate_factor, (out_w, out_h), inverse=True
+            ).astype(np.float32)
+
         if cfg.DEBUG > 0 or self.enable_meta:
             item["meta"] = {
                 "center": center,

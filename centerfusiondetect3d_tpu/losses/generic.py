@@ -14,6 +14,7 @@ from __future__ import annotations
 
 from typing import Any, Dict, List
 
+import jax
 import jax.numpy as jnp
 
 from .primitives import (
@@ -199,7 +200,7 @@ class GenericLoss:
             if "bbox2d" in losses and "reg" in output and "widthHeight" in output:
                 wh = output["widthHeight"]
                 if self.norm2d:
-                    wh = jnp.asarray(jnp.reciprocal(1 + jnp.exp(-wh)))
+                    wh = jax.nn.sigmoid(wh)
                     wh = wh * jnp.array(
                         [self.output_size[1], self.output_size[0]], jnp.float32
                     )

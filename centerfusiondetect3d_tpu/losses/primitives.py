@@ -190,7 +190,14 @@ def bbox3d_loss(output, center_int, trans_mat, calib, target, ind, mask,
         amodal = jnp.zeros_like(center_int)
 
     trans_mat = jnp.asarray(trans_mat, jnp.float32)
-    center3d = (center_int + amodal) @ trans_mat[:, :2].T + trans_mat[:, 2]
+    pts = center_int + amodal  # (B, K, 2)
+    if trans_mat.ndim == 3:
+        # per-sample (B, 2, 3) inverse affines (the reference uses one
+        # shared matrix from sample 0's meta, genericLoss.py:70-77)
+        center3d = (jnp.einsum("bkj,bij->bki", pts, trans_mat[:, :, :2])
+                    + trans_mat[:, None, :, 2])
+    else:
+        center3d = pts @ trans_mat[:, :2].T + trans_mat[:, 2]
     alpha = get_alpha(rotation, xp=jnp)
     locations, yaws = img_to_cam_coord(
         center3d, alpha, dimension, depth[..., 0], calib, xp=jnp

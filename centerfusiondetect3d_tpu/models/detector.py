@@ -106,9 +106,11 @@ class CenterFusionDLA(nn.Module):
             dtype=self.dtype,
             name="ida_up",
         )
+        # match __call__'s second-stage gate (radar_pc AND middle): without
+        # radar the secondary towers would exist as parameters but never run
         secondary = (
             tuple(h for h, _ in self.heads if h in SECONDARY_HEADS)
-            if self.fusion_strategy == "middle"
+            if self.fusion_strategy == "middle" and self.radar_pc
             else ()
         )
         self.head_set = DetectHeadSet(

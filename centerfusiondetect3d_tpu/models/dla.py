@@ -18,7 +18,8 @@ from typing import Any, Sequence
 import jax.numpy as jnp
 from flax import linen as nn
 
-from .layers import ConvBnAct, BN_MOMENTUM, TorchBatchNorm
+from .layers import (ConvBnAct, BN_MOMENTUM, TorchBatchNorm,
+                     torch_conv_kernel_init)
 
 DLA34_LEVELS = (1, 1, 1, 2, 2, 1)
 DLA34_CHANNELS = (16, 32, 64, 128, 256, 512)
@@ -145,7 +146,9 @@ class Root(nn.Module):
     @nn.compact
     def __call__(self, children: Sequence, train: bool = False):
         x = jnp.concatenate(children, axis=-1)
-        x = nn.Conv(self.features, (1, 1), use_bias=False, dtype=self.dtype, name="conv")(x)
+        x = nn.Conv(self.features, (1, 1), use_bias=False,
+                    kernel_init=torch_conv_kernel_init, dtype=self.dtype,
+                    name="conv")(x)
         x = TorchBatchNorm(
             use_running_average=not train, momentum=BN_MOMENTUM, dtype=self.dtype, name="bn"
         )(x)

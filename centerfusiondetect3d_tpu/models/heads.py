@@ -16,6 +16,8 @@ import jax
 import jax.numpy as jnp
 from flax import linen as nn
 
+from .layers import torch_conv_kernel_init
+
 SECONDARY_HEADS = ("velocity", "nuscenes_att", "depth2", "rotation2")
 
 
@@ -42,12 +44,14 @@ class HeadTower(nn.Module):
         if self.hidden:
             x = nn.Conv(
                 self.hidden[0], (3, 3), padding=1, use_bias=True, dtype=self.dtype,
+                kernel_init=torch_conv_kernel_init,
                 bias_init=nn.initializers.zeros, name="tower_0",
             )(x)
             x = nn.relu(x)
             for i, h in enumerate(self.hidden[1:], start=1):
                 x = nn.Conv(
                     h, (1, 1), use_bias=True, dtype=self.dtype,
+                    kernel_init=torch_conv_kernel_init,
                     bias_init=nn.initializers.zeros, name=f"tower_{i}",
                 )(x)
                 x = nn.relu(x)
@@ -58,6 +62,7 @@ class HeadTower(nn.Module):
         )
         x = nn.Conv(
             self.out_features, (1, 1), use_bias=True, dtype=self.dtype,
+            kernel_init=torch_conv_kernel_init,
             bias_init=bias_init, name="out",
         )(x)
         return x.astype(jnp.float32)

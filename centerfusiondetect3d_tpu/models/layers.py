@@ -19,6 +19,13 @@ from ..ops.dcn import deform_conv2d
 
 BN_MOMENTUM = 0.9  # torch momentum 0.1
 
+# torch Conv2d's default kernel init, kaiming_uniform(a=sqrt(5)) ==
+# uniform(+-1/sqrt(fan_in)), variance (1/3)/fan_in — flax's lecun_normal
+# default has 3x the variance, a silent from-scratch training divergence
+torch_conv_kernel_init = nn.initializers.variance_scaling(
+    1.0 / 3.0, "fan_in", "uniform"
+)
+
 
 class TorchBatchNorm(nn.Module):
     """BatchNorm with torch's exact running-stat semantics.
@@ -59,7 +66,10 @@ class TorchBatchNorm(nn.Module):
             n = x.size // feat
             xf = x.astype(jnp.float32).reshape(-1, feat)
             mean = jnp.mean(xf, axis=0)
-            var = jnp.mean(jnp.square(xf), axis=0) - jnp.square(mean)
+            # two-pass E[(x-mean)^2] like torch: the one-pass
+            # E[x^2]-E[x]^2 form can cancel to a negative variance for
+            # high-mean/low-variance channels and NaN the rsqrt
+            var = jnp.mean(jnp.square(xf - mean), axis=0)
             if not self.is_initializing():
                 unbiased = var * (n / max(n - 1, 1))
                 m = self.momentum
@@ -94,6 +104,7 @@ class ConvBnAct(nn.Module):
             padding=[(pad[0], pad[0]), (pad[1], pad[1])],
             kernel_dilation=(d, d),
             use_bias=self.use_bias,
+            kernel_init=torch_conv_kernel_init,
             dtype=self.dtype,
             name="conv",
         )(x)
@@ -143,6 +154,7 @@ class GlobalConvNode(nn.Module):
                 padding=padding,
                 kernel_dilation=(d, d),
                 use_bias=False,
+                kernel_init=torch_conv_kernel_init,
                 dtype=self.dtype,
                 name=name,
             )(inp)

@@ -278,3 +278,33 @@ def test_loader_shard_padding_tiny_dataset():
     batches = list(loader)
     assert len(batches) == len(loader) == 1
     assert batches[0]["idx"].shape[0] == 4  # 2-index shard tiled to 4
+
+
+def test_dataset_emits_trans_mat_when_bbox3d_enabled(data_root):
+    """get_item carries the per-sample inverse output->original affine
+    exactly when the bbox3d decode loss is configured (GenericLoss's
+    'trans_mat' guard was dead before: no producer existed)."""
+    from centerfusiondetect3d_tpu.geometry import apply_affine
+
+    cfg3 = load_config(
+        opts=["DATASET.ROOT", repr(data_root + "/"),
+              "MODEL.INPUT_SIZE", "(96, 160)", "MODEL.DLA.NODE", "Conv",
+              "MIXED_PRECISION", "False", "LOSS_WEIGHTS.BBOX_3D", "1.0"],
+        num_classes=10,
+    )
+    ds = get_dataset("nuscenes")(cfg3, "mini_train")
+    item = ds.get_item(0, None)
+    assert item["trans_mat"].shape == (2, 3)
+    # output-plane center maps back to the original image center
+    oh, ow = cfg3.MODEL.OUTPUT_SIZE
+    back = apply_affine(np.array([[ow / 2, oh / 2]], np.float32),
+                        item["trans_mat"])
+    assert np.allclose(back, [[160 / 2, 96 / 2]], atol=1.0)
+
+    cfg0 = load_config(
+        opts=["DATASET.ROOT", repr(data_root + "/"),
+              "MODEL.INPUT_SIZE", "(96, 160)", "MODEL.DLA.NODE", "Conv",
+              "MIXED_PRECISION", "False"],
+        num_classes=10,
+    )
+    assert "trans_mat" not in get_dataset("nuscenes")(cfg0, "mini_train").get_item(0, None)

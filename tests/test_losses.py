@@ -250,3 +250,29 @@ def test_generic_loss_gradients_flow(rng):
     g = jax.grad(f)(outputs[0]["heatmap"])
     assert np.isfinite(np.asarray(g)).all()
     assert np.abs(np.asarray(g)).sum() > 0
+
+
+def test_generic_loss_bbox3d_with_per_sample_trans_mat(rng):
+    """LOSS_WEIGHTS.BBOX_3D > 0 computes a real bbox3d loss from the
+    per-sample (B,2,3) trans_mat the dataset now ships (the guard used to
+    be dead: nothing produced 'trans_mat' and the loss silently stayed 0)."""
+    cfg = load_config(opts=["MODEL.INPUT_SIZE", "(64, 128)",
+                            "MIXED_PRECISION", "False",
+                            "LOSS_WEIGHTS.BBOX_3D", "1.0"],
+                      num_classes=10)
+    loss_fn = GenericLoss(cfg)
+    batch = dict(_synthetic_batch(cfg, rng))
+    b = batch["mask"].shape[0]
+    tm = np.tile(np.array([[4.0, 0, 1.0], [0, 4.0, 2.0]], np.float32),
+                 (b, 1, 1))
+    tm[1, :, 2] += 5.0  # distinct per-sample offsets
+    batch["trans_mat"] = jnp.asarray(tm)
+    total, parts = jax.jit(lambda o, b_: loss_fn(o, b_))(
+        _model_outputs(cfg, rng), batch)
+    assert np.isfinite(float(total))
+    assert "bbox3d" in parts and float(parts["bbox3d"]) > 0
+
+    # shared (2,3) matrix (the golden fixtures' shape) still works
+    batch["trans_mat"] = jnp.asarray(tm[0])
+    total2, parts2 = loss_fn(_model_outputs(cfg, rng), batch)
+    assert np.isfinite(float(total2)) and float(parts2["bbox3d"]) > 0
