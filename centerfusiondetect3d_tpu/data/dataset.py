@@ -170,7 +170,12 @@ class GenericDataset:
             lidar = self.load_lidar(img_info)
             if lidar is not None:
                 if flipped:
-                    lidar[0] = (out_w - 1) - lidar[0]
+                    # flip only REAL points: the array is already zero-padded
+                    # and mirroring pad columns would mint fake points at
+                    # x = out_w-1 that pass the depth loss's pc > 0 mask
+                    # (reference flips before padding, nuscenes.py:339-345)
+                    valid = lidar[2] > 0
+                    lidar[0, valid] = (out_w - 1) - lidar[0, valid]
                 item["pc_lidar"] = lidar.T  # (N, 3)
 
         built = self.builder.build(
@@ -185,7 +190,7 @@ class GenericDataset:
             pc_hm[..., :s] = 1.0 - pc_hm[..., :s] / cfg.DATASET.MAX_PC_DIST
             item["pc_hm"] = pc_hm
 
-        if float(cfg.LOSS_WEIGHTS.get("BBOX_3D", 0.0)) > 0:
+        if cfg.weights.get("bbox3d", 0) > 0:
             # inverse output->original affine for the bbox3d decode loss:
             # the reference derives ONE matrix from batch meta at loss time
             # (genericLoss.py:70-77); here each sample carries its own
@@ -194,6 +199,12 @@ class GenericDataset:
             item["trans_mat"] = get_affine_transform(
                 center, scale, rotate_factor, (out_w, out_h), inverse=True
             ).astype(np.float32)
+            # hflipped samples decode in the mirrored frame while the 3D
+            # corner targets come from the unflipped annotation — supervising
+            # them would pull x toward its mirror. The reference shares this
+            # blind spot (its meta-derived matrix ignores flip too); here the
+            # loss is masked out for flipped samples instead of corrupted.
+            item["trans_mat_valid"] = np.float32(0.0 if flipped else 1.0)
 
         if cfg.DEBUG > 0 or self.enable_meta:
             item["meta"] = {

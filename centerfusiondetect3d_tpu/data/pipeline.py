@@ -112,6 +112,19 @@ class Loader:
             item.pop(k, None)
         return item
 
+    def peek(self) -> Dict[str, np.ndarray]:
+        """First batch, built synchronously on the calling thread.
+
+        For shape/pytree probes: ``next(iter(loader))`` with prefetch on
+        abandons a live worker thread that keeps building batches nobody
+        reads. ``peek`` spawns no threads and does not advance the epoch.
+        """
+        indices = self._indices()[: self.batch_size]
+        assert len(indices), "empty dataset"
+        base = (self.seed + self.epoch) * 1_000_003
+        return stack_items([self._build(int(i), base + int(i))
+                            for i in indices])
+
     def __iter__(self) -> Iterator[Dict[str, np.ndarray]]:
         indices = self._indices()
         n_batches = len(self)
@@ -170,6 +183,10 @@ def device_prefetch(batch_iter, mesh=None, size: int = 2):
 
     buf = []
     it = iter(batch_iter)
+    if size <= 0:  # degrade to unbuffered device placement
+        for batch in it:
+            yield put(batch)
+        return
     try:
         for _ in range(size):
             buf.append(put(next(it)))

@@ -100,7 +100,9 @@ def draw_pc_heat(depth_map, box, depth, max_dist: int, one_hot: bool, point_row)
     y1, y2, x1, x2 = box
     vx, vz = point_row[8], point_row[9]
     if one_hot:
-        d_layer = int(depth)
+        # the distance filter is inclusive (<= max_dist), so depth ==
+        # max_dist would index channel max_dist and crash mid-epoch
+        d_layer = min(int(depth), max_dist - 1)
         depth_map[y1:y2, x1:x2, d_layer] = depth
         depth_map[y1:y2, x1:x2, d_layer + max_dist] = vx
         depth_map[y1:y2, x1:x2, d_layer + 2 * max_dist] = vz
@@ -116,7 +118,9 @@ def draw_pc_points(depth_map, points_xy, depths, max_dist: int, one_hot: bool,
     """Single-pixel scatter rasterization (nuscenes.py:265-294)."""
     pts = points_xy.astype(np.int32)
     if one_hot:
-        d_layer = depths.astype(np.int32)
+        # clamp like draw_pc_heat: depth == max_dist passes the inclusive
+        # distance filter but channel max_dist does not exist
+        d_layer = np.minimum(depths.astype(np.int32), max_dist - 1)
         depth_map[pts[1], pts[0], d_layer] = depths
         depth_map[pts[1], pts[0], d_layer + max_dist] = pc_3d[8]
         depth_map[pts[1], pts[0], d_layer + 2 * max_dist] = pc_3d[9]

@@ -215,10 +215,15 @@ class GenericLoss:
                 depth_head = "depth2" if "depth2" in output else "depth"
                 needed = {"rotation", depth_head, "dimension", "amodal_offset"}
                 if needed <= set(output) and "trans_mat" in batch:
+                    # trans_mat_valid masks hflipped samples (see
+                    # data/dataset.py: their corner targets are unflipped)
+                    m3 = lm
+                    if "trans_mat_valid" in batch:
+                        m3 = lm * batch["trans_mat_valid"][:, None]
                     b3 = bbox3d_loss(
                         output, centers_layer.astype(jnp.float32),
                         batch["trans_mat"], batch["calib"],
-                        lay(batch["target"]["bboxes3d"], lm), ind, lm, depth_head,
+                        lay(batch["target"]["bboxes3d"], lm), ind, m3, depth_head,
                     )
                     losses["bbox3d"] = losses["bbox3d"] + b3
                     losses["total"] = losses["total"] + b3 * self.weights["bbox3d"]

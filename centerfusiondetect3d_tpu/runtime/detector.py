@@ -209,8 +209,10 @@ class Detector:
         h, w = cfg.MODEL.INPUT_SIZE
         oh, ow = cfg.MODEL.OUTPUT_SIZE
         img = jnp.zeros((self.batch_size, h, w, 3), jnp.float32)
+        # channel count must match empty_depth_map: 3*MAX_PC_DIST one-hot
+        ch = 3 * int(cfg.DATASET.MAX_PC_DIST) if cfg.DATASET.ONE_HOT_PC else 3
         pc = (
-            jnp.zeros((self.batch_size, oh, ow, 3), jnp.float32)
+            jnp.zeros((self.batch_size, oh, ow, ch), jnp.float32)
             if cfg.DATASET.RADAR_PC
             else None
         )

@@ -23,8 +23,12 @@ def _spec_args(config, batch_size: int):
     h, w = config.MODEL.INPUT_SIZE
     oh, ow = config.MODEL.OUTPUT_SIZE
     image = jax.ShapeDtypeStruct((batch_size, h, w, 3), np.float32)
+    # one-hot radar maps carry 3*MAX_PC_DIST channels (data/radar.py
+    # empty_depth_map), not 3
+    ch = (3 * int(config.DATASET.MAX_PC_DIST)
+          if config.DATASET.ONE_HOT_PC else 3)
     pc_dep = (
-        jax.ShapeDtypeStruct((batch_size, oh, ow, 3), np.float32)
+        jax.ShapeDtypeStruct((batch_size, oh, ow, ch), np.float32)
         if config.DATASET.RADAR_PC
         else None
     )
@@ -47,7 +51,16 @@ def export_inference(config, variables, path: str, batch_size: int = 1) -> str:
 
     model = build_model(config)
 
+    from ..data.dataset import NuScenesDataset
+
+    mean = np.asarray(NuScenesDataset.mean, np.float32)
+    std = np.asarray(NuScenesDataset.std, np.float32)
+
     def infer(image, pc_dep, calib, trans_inv):
+        # same input contract as the serving Detector (_forward): raw
+        # [0, 255] pixels, /255 + mean/std normalization baked into the
+        # program so PJRT consumers can't silently skip it
+        image = (image / 255.0 - mean) / std
         outputs = model.apply(variables, image, None, pc_dep, calib, train=False)
         dets = fusion_decode(
             outputs, config.MODEL.OUTPUT_SIZE, k=config.MODEL.K,
@@ -71,6 +84,11 @@ def export_inference(config, variables, path: str, batch_size: int = 1) -> str:
                 "output_size": tuple(config.MODEL.OUTPUT_SIZE),
                 "radar_pc": bool(config.DATASET.RADAR_PC),
                 "k": int(config.MODEL.K),
+                # input contract: raw [0,255] pixels; normalization is baked
+                # into the program with these constants
+                "input_pixels": "raw_0_255",
+                "mean": mean.tolist(),
+                "std": std.tolist(),
             },
             f,
         )

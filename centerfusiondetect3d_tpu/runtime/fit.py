@@ -155,9 +155,9 @@ class Trainer:
                 "TRAIN.SHUFFLE is off: data order is sequential but "
                 "augmentation remains active"
             )
-        first = None
-        for first in loader:
-            break
+        # synchronous first-batch probe: iterating the threaded loader and
+        # abandoning it leaks a prefetch worker that keeps building batches
+        first = loader.peek() if hasattr(loader, "peek") else next(iter(loader))
         assert first is not None, "empty training dataset"
         if self.state is None:
             self.init_state(first)
@@ -291,7 +291,8 @@ class Trainer:
                 shard=shard, pad_to_batch=multiproc,
             )
         if self.state is None:
-            first = next(iter(loader))
+            first = (loader.peek() if hasattr(loader, "peek")
+                     else next(iter(loader)))
             self.init_state(first)
         if self._eval_step is None:
             self._eval_step = self._build_eval_step()
@@ -300,7 +301,8 @@ class Trainer:
             # drag the global mesh into the local eval path)
             if not multiproc:
                 try:
-                    first = next(iter(loader))
+                    first = (loader.peek() if hasattr(loader, "peek")
+                             else next(iter(loader)))
                     first.pop("meta", None)
                     cost = self.profile(first)
                     if cost:
@@ -354,20 +356,30 @@ class Trainer:
                 meters[k_].update(float(v))
             if meta is not None:
                 img_ids = np.asarray(meta["img_id"]).tolist()
-            elif multiproc and default_loader and self.dataset_val is not None:
-                # no-meta fallback under the default sharded loader: invert
-                # the unshuffled strided-pad index stream (pipeline.py
-                # _indices) so ids are TRUE dataset indices — rank-local
-                # counters would repeat across ranks and collapse in the
-                # allgather merge, and synthetic ids would leak the pad
-                # duplicates as extra images
-                pid, nproc = jax.process_index(), jax.process_count()
-                n = len(self.dataset_val)
-                m = -(-n // nproc)  # padded per-rank shard length
-                img_ids = [int((pid + nproc * ((seen + i) % m)) % n)
-                           for i in range(nimg)]
             else:
-                img_ids = list(range(seen, seen + nimg))
+                if multiproc and default_loader and self.dataset_val is not None:
+                    # no-meta fallback under the default sharded loader:
+                    # invert the unshuffled strided-pad index stream
+                    # (pipeline.py _indices) so positions map to TRUE
+                    # dataset indices — rank-local counters would repeat
+                    # across ranks and collapse in the allgather merge, and
+                    # synthetic ids would leak pad duplicates as extra images
+                    pid, nproc = jax.process_index(), jax.process_count()
+                    n = len(self.dataset_val)
+                    m = -(-n // nproc)  # padded per-rank shard length
+                    idxs = [int((pid + nproc * ((seen + i) % m)) % n)
+                            for i in range(nimg)]
+                else:
+                    idxs = list(range(seen, seen + nimg))
+                # dataset indices -> COCO image ids when the dataset exposes
+                # them: run_eval/convert_eval_format key GT by the
+                # converter-assigned (video,sensor)-reordered ids, so raw
+                # indices would attribute detections to the wrong samples
+                ids_map = (getattr(self.dataset_val, "images", None)
+                           if default_loader and self.dataset_val is not None
+                           else None)
+                img_ids = ([ids_map[j] for j in idxs] if ids_map is not None
+                           else idxs)
             seen += nimg
             # one tunnel transfer for all detection tensors (axon fetch
             # round trips otherwise dominate val wall time; detector.py)

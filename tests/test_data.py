@@ -308,3 +308,32 @@ def test_dataset_emits_trans_mat_when_bbox3d_enabled(data_root):
         num_classes=10,
     )
     assert "trans_mat" not in get_dataset("nuscenes")(cfg0, "mini_train").get_item(0, None)
+
+
+def test_device_prefetch_size_zero():
+    """size=0 degrades to unbuffered placement instead of IndexError."""
+    from centerfusiondetect3d_tpu.data.pipeline import device_prefetch
+
+    batches = [{"x": np.ones((2,), np.float32) * i} for i in range(3)]
+    out = list(device_prefetch(iter(batches), mesh=None, size=0))
+    assert len(out) == 3
+    assert float(np.asarray(out[2]["x"])[0]) == 2.0
+
+
+def test_loader_peek_matches_first_batch():
+    """peek() builds batch 0 synchronously (no prefetch threads) and equals
+    the iterated first batch without advancing the epoch."""
+    from centerfusiondetect3d_tpu.data.pipeline import Loader
+
+    class DS:
+        def __len__(self):
+            return 6
+
+        def get_item(self, i, rng=None):
+            return {"idx": np.array([i], np.int64)}
+
+    ldr = Loader(DS(), 2, shuffle=True, seed=3, num_threads=1, drop_keys=())
+    peeked = ldr.peek()
+    assert ldr.epoch == 0  # peek does not advance the epoch
+    first = next(iter(ldr))
+    np.testing.assert_array_equal(peeked["idx"], first["idx"])

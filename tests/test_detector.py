@@ -244,3 +244,41 @@ def test_batch_split_guard(detector, rng, caplog):
         a = sorted(it["score"] for it in ret["results"][i])
         c = sorted(it["score"] for it in ret2["results"][i])
         np.testing.assert_allclose(a, c, rtol=1e-4, atol=1e-5)
+
+
+def test_detector_one_hot_radar(rng):
+    """ONE_HOT_PC: the init dummy and the real rasterized map must agree on
+    3*MAX_PC_DIST channels (a 3-channel init used to shape the second-stage
+    kernels wrong and crash model.apply on the real map)."""
+    cfg = load_config(
+        opts=["MODEL.INPUT_SIZE", "(64, 128)", "MODEL.DLA.NODE", "Conv",
+              "MODEL.K", "8", "MIXED_PRECISION", "False",
+              "DATASET.ONE_HOT_PC", "True", "DATASET.MAX_PC_DIST", "10",
+              "MODEL.FRUSTUM", "False"],
+        num_classes=10,
+    )
+    det = Detector(cfg)
+    img = (rng.rand(240, 320, 3) * 255).astype(np.uint8)
+    radar = np.zeros((18, 20), np.float32)
+    radar[2] = rng.rand(20) * 8 + 1
+    ret = det.run(img, radar_pcs=[radar])
+    assert 0 in ret["results"]
+
+
+def test_one_hot_depth_at_max_dist_clamps():
+    """A radar point at exactly MAX_PC_DIST survives the inclusive distance
+    filter; its one-hot channel must clamp instead of overflowing."""
+    from centerfusiondetect3d_tpu.data.radar import (
+        draw_pc_heat, draw_pc_points, empty_depth_map)
+
+    md = 10
+    m = empty_depth_map((8, 12), md, True)
+    row = np.zeros(18, np.float32)
+    row[8], row[9] = 1.5, -0.5
+    draw_pc_heat(m, (1, 3, 2, 5), float(md), md, True, row)
+    assert m[1, 2, md - 1] == md  # clamped into the last channel
+    m2 = empty_depth_map((8, 12), md, True)
+    draw_pc_points(m2, np.array([[4], [5]], np.int64),
+                   np.array([float(md)], np.float32), md, True,
+                   np.tile(row[:, None], (1, 1)))
+    assert m2[5, 4, md - 1] == md
