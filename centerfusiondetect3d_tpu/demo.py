@@ -41,14 +41,9 @@ def parse_args(argv=None):
 
 
 def draw_box_3d(img, corners_2d, color=(0, 255, 0)):
-    import cv2
+    from .utils.visualize import draw_box_3d as _draw
 
-    edges = [(0, 1), (1, 2), (2, 3), (3, 0), (4, 5), (5, 6), (6, 7), (7, 4),
-             (0, 4), (1, 5), (2, 6), (3, 7)]
-    pts = corners_2d.astype(np.int32)
-    for a, b in edges:
-        cv2.line(img, tuple(pts[a]), tuple(pts[b]), color, 1, cv2.LINE_AA)
-    return img
+    return _draw(img, corners_2d, color=color)
 
 
 def render_camera(img, items, calib, conf_thresh: float):
@@ -72,36 +67,69 @@ def render_camera(img, items, calib, conf_thresh: float):
     return out
 
 
-def render_bev(items_by_cam: Dict[int, List[dict]], radar_pcs, conf_thresh: float):
-    """BEV canvas: ego at bottom-center, radar dots, detection rectangles."""
+def render_bev(items_by_cam: Dict[int, List[dict]], radar_pcs, conf_thresh: float,
+               infos: List[dict] = None):
+    """BEV canvas: ego at center, radar dots, detection rectangles.
+
+    Detections arrive in each CAMERA's own frame; with ``infos`` carrying the
+    converter's per-image ``trans_matrix`` (cam->global), every camera's
+    boxes and radar points are transformed into the FRONT camera's frame so
+    the shared canvas is geometrically consistent (the reference converts to
+    global before its devkit BEV render, nuscenes.py:420-430). Without
+    matrices (plain image folders) the front camera is drawn as before and
+    other cameras fall back to their own frames.
+    """
     import cv2
 
     canvas = np.full((BEV_SIZE, BEV_SIZE, 3), 30, np.uint8)
     scale = BEV_SIZE / (2 * BEV_RANGE)
 
     def to_px(x, z):
-        return int(BEV_SIZE / 2 + x * scale), int(BEV_SIZE - z * scale)
+        # ego at center: rear cameras produce negative z in the front frame
+        return int(BEV_SIZE / 2 + x * scale), int(BEV_SIZE / 2 - z * scale)
 
-    # range rulers
+    def cam_to_front(ci: int):
+        if (not infos or ci >= len(infos)
+                or "trans_matrix" not in infos[0]
+                or "trans_matrix" not in infos[ci]):
+            return None
+        t0 = np.array(infos[0]["trans_matrix"], np.float64)
+        tc = np.array(infos[ci]["trans_matrix"], np.float64)
+        return np.linalg.inv(t0) @ tc
+
+    # range rulers around the ego
     for r in (10, 30, 50):
         cv2.circle(canvas, to_px(0, 0), int(r * scale), (60, 60, 60), 1)
 
-    for pc in radar_pcs or []:
+    for ci, pc in enumerate(radar_pcs or []):
         if pc is None:
             continue
-        for i in range(pc.shape[1]):
-            x, z = pc[0, i], pc[2, i]
-            if abs(x) < BEV_RANGE and 0 < z < BEV_RANGE * 2:
+        m = cam_to_front(ci)
+        xyz = pc[:3].astype(np.float64)
+        if m is not None and ci > 0:
+            xyz = m[:3, :3] @ xyz + m[:3, 3:4]
+        for i in range(xyz.shape[1]):
+            x, z = xyz[0, i], xyz[2, i]
+            if abs(x) < BEV_RANGE and abs(z) < BEV_RANGE:
                 cv2.circle(canvas, to_px(x, z), 2, (255, 180, 60), -1)
 
-    for items in items_by_cam.values():
+    for ci, items in items_by_cam.items():
+        m = cam_to_front(int(ci))
         for it in items:
             if it["score"] < conf_thresh:
                 continue
-            x, _, z = it["location"]
-            h, w, l = it["dimension"]
-            c = to_px(float(x), float(z))
+            loc = np.asarray(it["location"], np.float64)
             yaw = float(it["yaw"])
+            if m is not None and int(ci) > 0:
+                loc = m[:3, :3] @ loc + m[:3, 3]
+                # heading vector (cos yaw, 0, -sin yaw) through the rotation
+                v = m[:3, :3] @ np.array([np.cos(yaw), 0.0, -np.sin(yaw)])
+                yaw = float(-np.arctan2(v[2], v[0]))
+            x, z = float(loc[0]), float(loc[2])
+            if abs(x) > BEV_RANGE or abs(z) > BEV_RANGE:
+                continue
+            h, w, l = it["dimension"]
+            c = to_px(x, z)
             box = cv2.boxPoints((c, (l * scale, w * scale), -np.degrees(yaw)))
             cv2.polylines(canvas, [box.astype(np.int32)], True, (80, 220, 80), 1)
     return canvas
@@ -120,6 +148,9 @@ def main(argv=None):
         import jax
 
         jax.config.update("jax_platforms", config.TPU.PLATFORM)
+    from .utils.cache import enable_compilation_cache
+
+    enable_compilation_cache()
     config = finalize_config(config, NuScenesDataset.num_categories,
                              NuScenesDataset.default_resolution)
     config.defrost()
@@ -191,7 +222,7 @@ def main(argv=None):
         while len(tiles) < 6:
             tiles.append(np.zeros((224, 400, 3), np.uint8))
         mosaic = np.vstack([np.hstack(tiles[:3]), np.hstack(tiles[3:6])])
-        bev = render_bev(ret["results"], radars, args.conf_thresh)
+        bev = render_bev(ret["results"], radars, args.conf_thresh, infos)
         frame = np.hstack([mosaic, cv2.resize(bev, (448, 448))])
 
         if args.save_dir:

@@ -31,7 +31,16 @@ from .algo import accumulate, calc_ap, calc_tp, nd_score
 # reference multi-range variants (evaluate.py:93-101): max range clamped, and
 # a min-dist band of max(0, range - 20)
 RANGE_VARIANTS = {"10": 10.0, "30": 30.0, "50": 50.0, "all": None}
-EXTREME_KEYWORDS = ("night", "rain")
+# exact comma-separated description segments, as the reference matches them
+# (evaluate.py:106-112 key_dict + loaders.py:273-280 set intersection) —
+# substring matching would miss 'dark' scenes not containing 'night'
+EXTREME_KEYWORDS = ("dark", "very dark", "Night", "Rain", "heavy rain")
+
+
+def is_extreme_description(description: str) -> bool:
+    """True when a scene description names a night/rain condition."""
+    segs = {s.strip() for s in description.split(",")}
+    return bool(segs & set(EXTREME_KEYWORDS))
 
 
 def evaluate_boxes(gt_boxes: EvalBoxes, pred_boxes: EvalBoxes,
@@ -126,8 +135,7 @@ class DetectionEval:
         desc = self.scene_desc
 
         def keep(token: str) -> bool:
-            d = desc.get(token, "").lower()
-            return any(k in d for k in EXTREME_KEYWORDS)
+            return is_extreme_description(desc.get(token, ""))
 
         return keep
 

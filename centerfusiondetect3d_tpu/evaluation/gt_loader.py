@@ -159,7 +159,10 @@ def load_gt(dataroot: str, version: str, sample_tokens=None) -> Tuple[
                     translation=np.asarray(a["translation"], np.float64),
                     size=np.asarray(a["size"], np.float64),
                     rotation=np.asarray(a["rotation"], np.float64),
-                    velocity=np.nan_to_num(vel),
+                    # keep NaN velocities (no prev/next neighbor): the
+                    # devkit leaves them NaN so accumulate's cummean EXCLUDES
+                    # those matches from vel_err; zeroing them inflates mAVE
+                    velocity=vel,
                     detection_name=det_name,
                     attribute_name=attr,
                     num_pts=a.get("num_lidar_pts", -1) + a.get("num_radar_pts", 0),

@@ -41,7 +41,6 @@ def detection_to_kitti_line(item: dict, class_names) -> str:
     x, y, z = [float(v) for v in np.asarray(item["location"])]
     yaw = float(item["yaw"])
     bbox = [float(v) for v in np.asarray(item.get("bbox", [0, 0, 0, 0]))]
-    cx = (bbox[0] + bbox[2]) / 2 if any(bbox) else 0.0
     alpha = float(item.get("alpha", yaw - np.arctan2(x, z)))
     return (
         f"{ktype} 0.00 0 {alpha:.2f} "

@@ -94,6 +94,9 @@ def main(argv=None):
         import jax
 
         jax.config.update("jax_platforms", config.TPU.PLATFORM)
+    from .utils.cache import enable_compilation_cache
+
+    enable_compilation_cache()
     config = finalize_config(config, NuScenesDataset.num_categories,
                              NuScenesDataset.default_resolution)
 

@@ -34,7 +34,13 @@ def initialize(coordinator_address: Optional[str] = None,
     except ValueError:
         pass  # single-process run without cluster env configuration
     except RuntimeError as e:
-        if "already" in str(e).lower() or "initialize" in str(e).lower():
+        msg = str(e).lower()
+        if "before any jax" in msg or "computations" in msg:
+            # a backend query already ran: swallowing this would silently
+            # leave every host single-process, training the full dataset
+            # N times over the same checkpoint dir
+            raise
+        if "already" in msg or "initialize" in msg:
             return  # already initialized (e.g. by the launcher)
         raise
 

@@ -204,8 +204,11 @@ def normalize_depthmaps(extras: Dict[str, np.ndarray]) -> Dict[str, np.ndarray]:
         if m.ndim == 4:  # NHWC -> channel max
             m = m.max(axis=-1)
         m = m.copy()
-        m[:, 0, 0] = 0.0  # reference quirk: anchor the norm range
-        m[:, :, 0] = 0.0
+        # reference quirk (detector.py:388-389): zero ROW 0 and COLUMN 0 of
+        # image 0 ONLY to anchor the norm range — depthmap[0, 0] selects
+        # image 0's first row, not pixel (0, 0) of every image
+        m[0, 0, :] = 0.0
+        m[0, :, 0] = 0.0
         lo = m.min(axis=(1, 2), keepdims=True)
         hi = m.max(axis=(1, 2), keepdims=True)
         out[key] = ((m - lo) / np.maximum(hi - lo, 1e-9) * 255).astype(np.uint8)

@@ -43,7 +43,7 @@ def test_eval_cli(tmp_path):
     def w(name, obj):
         (version / f"{name}.json").write_text(json.dumps(obj))
 
-    w("scene", [{"token": "sc0", "name": "s", "description": "rainy"}])
+    w("scene", [{"token": "sc0", "name": "s", "description": "Rain"}])
     w("sample", [{"token": "sa0", "scene_token": "sc0", "timestamp": 0,
                   "prev": "", "next": ""}])
     w("category", [{"token": "c0", "name": "vehicle.car"}])
@@ -107,3 +107,26 @@ def test_draw_detections_scale():
     # rectangle drawn at 20..80, not clipped at the frame edge
     assert out[20, 50].any() and out[80, 50].any()
     assert not out[95, 50].any()  # below the scaled box: nothing drawn
+
+
+def test_render_bev_transforms_other_cameras():
+    """Non-front cameras' detections are transformed into the front camera's
+    frame via the per-image trans_matrix (they used to be drawn in their own
+    frames, putting rear objects in front of the ego)."""
+    import numpy as np
+
+    from centerfusiondetect3d_tpu.demo import BEV_SIZE, render_bev
+
+    items = {0: [], 1: [{"score": 1.0, "location": [0.0, 0.0, 10.0],
+                         "yaw": 0.0, "dimension": [1.5, 2.0, 4.0]}]}
+    ry = np.eye(4)
+    ry[0, 0] = ry[2, 2] = -1.0  # Ry(pi): back camera
+    infos = [{"trans_matrix": np.eye(4).tolist()},
+             {"trans_matrix": ry.tolist()}]
+    green = lambda c: np.nonzero(np.all(c == (80, 220, 80), axis=-1))
+    ys, _ = green(render_bev(items, None, 0.5, infos))
+    assert ys.size and ys.min() > BEV_SIZE / 2  # behind the ego
+
+    # without matrices the camera-local fallback draws it in front
+    ys2, _ = green(render_bev(items, None, 0.5, None))
+    assert ys2.size and ys2.max() < BEV_SIZE / 2

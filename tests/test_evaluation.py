@@ -139,7 +139,7 @@ def test_detection_eval_end_to_end(tmp_path):
     results_path.write_text(json.dumps(records))
 
     # mark scene of sample s0 as rainy for the extreme filter
-    desc = {f"s{i}": ("rain" if i == 0 else "sunny day") for i in range(4)}
+    desc = {f"s{i}": ("Rain" if i == 0 else "sunny day") for i in range(4)}
     ev = DetectionEval(gt, str(results_path), str(tmp_path / "out"),
                        sample_scene_description=desc)
     summaries = ev.run()
@@ -290,3 +290,55 @@ def test_zero_point_gt_filter(tmp_path):
     boxes.add_boxes("s", [box(0), box(3), box(-1)])
     kept = filter_eval_boxes(boxes, DetectionConfig())
     assert [b.num_pts for b in kept["s"]] == [3, -1]
+
+
+def test_extreme_scene_segment_matching():
+    """The extreme filter matches exact comma-separated description segments
+    like the reference (evaluate.py:106-112 key_dict + loaders.py:273-280),
+    not substrings — 'dark' scenes without 'night' must qualify and
+    'rainy day' must not."""
+    from centerfusiondetect3d_tpu.evaluation.evaluate import (
+        is_extreme_description)
+
+    assert is_extreme_description("dark, parked cars")
+    assert is_extreme_description("Night")
+    assert is_extreme_description("heavy rain, construction")
+    assert is_extreme_description("something, very dark")
+    assert not is_extreme_description("rainy day")  # substring-only
+    assert not is_extreme_description("nightfall approaching")
+    assert not is_extreme_description("sunny day")
+
+
+def test_gt_loader_keeps_nan_velocity(tmp_path):
+    """GT boxes with no prev/next neighbor keep NaN velocity (the devkit
+    semantics): accumulate's cummean then EXCLUDES those matches from
+    vel_err instead of charging the prediction's full speed."""
+    import json
+
+    root = tmp_path / "nan_vel"
+    ver = root / "v1.0-mini"
+    ver.mkdir(parents=True)
+
+    def w(name, obj):
+        (ver / f"{name}.json").write_text(json.dumps(obj))
+
+    w("scene", [{"token": "sc0", "name": "scene-0001", "description": "day"}])
+    w("sample", [{"token": "sa0", "scene_token": "sc0",
+                  "timestamp": 1_000_000, "prev": "", "next": ""}])
+    w("sensor", []); w("calibrated_sensor", []); w("sample_data", [])
+    w("ego_pose", [])
+    w("category", [{"token": "cat", "name": "vehicle.car"}])
+    w("instance", [{"token": "in0", "category_token": "cat"}])
+    w("attribute", [])
+    w("sample_annotation", [
+        {"token": "an0", "sample_token": "sa0", "instance_token": "in0",
+         "translation": [10.0, 0.0, 1.0], "size": [2, 4, 1.5],
+         "rotation": [1, 0, 0, 0], "attribute_tokens": [],
+         "prev": "", "next": "", "visibility_token": "4",
+         "num_lidar_pts": 5, "num_radar_pts": 1},
+    ])
+    from centerfusiondetect3d_tpu.evaluation import load_gt
+
+    boxes, _, _, _ = load_gt(str(root), "v1.0-mini", {"sa0"})
+    (box,) = boxes.boxes["sa0"]
+    assert np.isnan(box.velocity).all()
