@@ -65,7 +65,7 @@ class HeadTower(nn.Module):
             kernel_init=torch_conv_kernel_init,
             bias_init=bias_init, name="out",
         )(x)
-        return x.astype(jnp.float32)
+        return x.astype(jnp.promote_types(x.dtype, jnp.float32))
 
 
 def resize_nearest(x, size_hw):
@@ -158,7 +158,7 @@ class DetectHeadSet(nn.Module):
                 hn, p["kernel"].astype(self.dtype), (1, 1), "VALID",
                 dimension_numbers=("NHWC", "HWIO", "NHWC"),
             ) + p["bias"].astype(self.dtype)
-            y[n] = out.astype(jnp.float32)
+            y[n] = out.astype(jnp.promote_types(out.dtype, jnp.float32))
         return y
 
     def _run_towers(self, feats, names):
@@ -192,5 +192,6 @@ class DetectHeadSet(nn.Module):
         if "depth2" in y:
             y["depthMap"] = y["depth2"]
             y["depth2"] = sigmoid_depth(y["depth2"])
-        y["pc_hm_out"] = pc_resized[..., :pc_slice].astype(jnp.float32)
+        y["pc_hm_out"] = pc_resized[..., :pc_slice].astype(
+            jnp.promote_types(pc_resized.dtype, jnp.float32))
         return y

@@ -60,11 +60,15 @@ class TorchBatchNorm(nn.Module):
             "batch_stats", "var", nn.initializers.ones, None, (feat,),
             jnp.float32,
         )
+        # statistics in at least f32 (bf16 inputs upcast); f64 inputs keep
+        # full precision — pinning to f32 here would truncate every layer of
+        # an x64 run, which matters for golden-parity anchors
+        ctype = jnp.promote_types(x.dtype, jnp.float32)
         if use_running_average:
-            mean, var = ra_mean.value, ra_var.value
+            mean, var = ra_mean.value.astype(ctype), ra_var.value.astype(ctype)
         else:
             n = x.size // feat
-            xf = x.astype(jnp.float32).reshape(-1, feat)
+            xf = x.astype(ctype).reshape(-1, feat)
             mean = jnp.mean(xf, axis=0)
             # two-pass E[(x-mean)^2] like torch: the one-pass
             # E[x^2]-E[x]^2 form can cancel to a negative variance for
@@ -73,11 +77,13 @@ class TorchBatchNorm(nn.Module):
             if not self.is_initializing():
                 unbiased = var * (n / max(n - 1, 1))
                 m = self.momentum
-                ra_mean.value = m * ra_mean.value + (1.0 - m) * mean
-                ra_var.value = m * ra_var.value + (1.0 - m) * unbiased
+                ra_mean.value = (m * ra_mean.value
+                                 + (1.0 - m) * mean).astype(jnp.float32)
+                ra_var.value = (m * ra_var.value
+                                + (1.0 - m) * unbiased).astype(jnp.float32)
         import jax
 
-        y = (x.astype(jnp.float32) - mean) * jax.lax.rsqrt(var + self.epsilon)
+        y = (x.astype(ctype) - mean) * jax.lax.rsqrt(var + self.epsilon)
         y = y * scale + bias
         return y.astype(self.dtype or x.dtype)
 
@@ -216,7 +222,9 @@ class DeformConvNode(nn.Module):
             dtype=self.dtype,
             name="conv_offset_mask",
         )(x)
-        offset_mask = offset_mask.astype(jnp.float32)
+        # sampling coordinates in at least f32 (f64 inputs keep precision)
+        offset_mask = offset_mask.astype(
+            jnp.promote_types(offset_mask.dtype, jnp.float32))
         offset = offset_mask[..., :18]
         mask = nn.sigmoid(offset_mask[..., 18:])
 

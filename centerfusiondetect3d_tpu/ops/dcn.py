@@ -85,7 +85,7 @@ def deform_conv2d(x, offset, mask, weight, bias=None):
             tap,
             weight[i, j].astype(x.dtype),
             dimension_numbers=(((2,), (0,)), ((), ())),
-            preferred_element_type=jnp.float32,
+            preferred_element_type=jnp.promote_types(x.dtype, jnp.float32),
         )
         out = term if out is None else out + term
 
@@ -141,7 +141,7 @@ def _exact_rows(x, offset, mask, weight, bias, idx):
         out = out + jax.lax.dot_general(
             tap, weight[i, j].astype(x.dtype),
             dimension_numbers=(((1,), (0,)), ((), ())),
-            preferred_element_type=jnp.float32,
+            preferred_element_type=jnp.promote_types(x.dtype, jnp.float32),
         )
     return out
 
@@ -267,7 +267,7 @@ def deform_conv2d_shift(x, offset, mask, weight, bias=None, *,
             tap,
             weight[i, j].astype(dtype),
             dimension_numbers=(((3,), (0,)), ((), ())),
-            preferred_element_type=jnp.float32,
+            preferred_element_type=jnp.promote_types(x.dtype, jnp.float32),
         )
         out = term if out is None else out + term
 

@@ -2151,9 +2151,397 @@ def gen_model(torch, out_dir, node="Conv", fusion="middle", tag="",
           f"{len(sd)} sd keys)")
 
 
+def gen_optimizer(torch, out_dir):
+    """Optimizer micro-golden: EXECUTE torch.optim.AdamW / SGD for three
+    steps on a fixed parameter tensor and fixed gradient sequence
+    (modelWithLoss.py:66-77 — AdamW(lr, weight_decay=5e-4) and
+    SGD(lr, momentum=0.9, weight_decay=5e-4)) and record the parameter
+    trajectory. Pins decoupled-vs-coupled weight decay, Adam bias
+    correction, the eps placement (outside the sqrt), and SGD's
+    momentum-buffer coupling of weight decay — the exact update math our
+    optax chain (training/state.py:48-62) must reproduce."""
+    rs = np.random.RandomState(99)
+    p0 = (rs.randn(4, 5) * 0.5).astype(np.float32)
+    grads = (rs.randn(3, 4, 5) * 0.3).astype(np.float32)
+    lr, wd = 2.5e-4, 5e-4
+
+    blob = {"p0": p0, "grads": grads,
+            "lr": np.float64(lr), "wd": np.float64(wd)}
+    for name, make in (
+        ("adamw", lambda p: torch.optim.AdamW([p], lr, weight_decay=wd)),
+        ("sgd", lambda p: torch.optim.SGD([p], lr, momentum=0.9,
+                                          weight_decay=wd)),
+    ):
+        p = torch.nn.Parameter(torch.from_numpy(p0.copy()))
+        opt = make(p)
+        traj = []
+        for t in range(grads.shape[0]):
+            opt.zero_grad()
+            p.grad = torch.from_numpy(grads[t].copy())
+            opt.step()
+            traj.append(p.detach().numpy().copy())
+        blob[f"traj_{name}"] = np.stack(traj)
+    np.savez(os.path.join(out_dir, "optimizer.npz"), **blob)
+    print(f"wrote optimizer.npz ({len(blob)} arrays)")
+
+
+def gen_train_step(torch, out_dir, node="Conv", tag="",
+                   offset_scale=0.0, offset_bias=0.0):
+    """FULL TRAIN-STEP golden: execute one complete reference training step
+    — DLASeg forward in TRAIN mode (batch-stat BN, in-place running-stat
+    updates), GenericLoss on a realistic target batch, ``backward()``, and
+    one ``torch.optim.AdamW`` step (modelWithLoss.py:43-77,299) — and
+    record the loss dict, per-parameter gradient norms, full gradients and
+    post-step values for a representative parameter subset, and the
+    post-forward BN running statistics.
+
+    This is the one parity axis the forward goldens cannot see: autodiff
+    through every layer (incl. train-mode BN batch statistics and, in the
+    DCN variant, bilinear-sample gradients wrt offsets/masks), the loss
+    backward, and the optimizer update. Weights are identical to the
+    matching ``model_forward{tag}.npz`` fixture (same torch seed /
+    perturbation), so only a checksum is stored here — the test imports
+    that fixture's state_dict.
+
+    A second, FLOAT64 pass through an identical-weights clone anchors the
+    fixture: deep-backward gradients accumulate f32 summation noise
+    (measured ~1% of max|g| at the stem), so the test compares the JAX f32
+    gradients against the f64 anchor with a tolerance calibrated from
+    torch's OWN f32-vs-f64 deviation — any mismatch beyond a small multiple
+    of torch's self-noise is semantic, not numeric.
+    """
+    import copy
+    import re
+
+    from config import config, updateDatasetAndModelConfig
+    from model.genericLoss import GenericLoss
+    from model.model import getModel
+    import model.networks.dla as ref_dla
+
+    # same activation-swallowing node shims as gen_model (upstream Conv
+    # signature bug, dla.py:315,499)
+    class _ConvShim(ref_dla.Conv):
+        def __init__(self, cin, cout, activation=True):
+            super().__init__(cin, cout)
+
+    ref_dla.DLA_NODE["Conv"] = (_ConvShim, _ConvShim)
+
+    config.defrost()
+    config.DATASET.DATASET = "nuscenes"
+    config.DATASET.RADAR_PC = True
+    config.DATASET.MAX_PC_DIST = 60.0
+    config.DATASET.DECOUPLE_REP = False
+    config.MODEL.FUSION_STRATEGY = "middle"
+    config.MODEL.FRUSTUM = False
+    config.MODEL.K = 100
+    config.MODEL.DLA.NODE = node
+    config.MODEL.INPUT_SIZE = (64, 128)
+    config.MODEL.NORM_2D = False
+    config.MODEL.LOAD_DIR = "skip-imagenet-download"
+    config.TRAIN.UNCERTAINTY_LOSS = False
+    config.DEBUG = 0
+    # aux point-cloud depth losses ON: they route gradient into the raw
+    # depthMap alias (genericLoss.py:143-195), widening backward coverage
+    config.LOSS_WEIGHTS.LIDAR_DEPTH = 0.7
+    config.LOSS_WEIGHTS.RADAR_DEPTH = 0.6
+    config.LOSS_WEIGHTS.BBOX_2D = 0.0
+    config.LOSS_WEIGHTS.BBOX_3D = 0.0
+
+    class _FakeDS:
+        num_categories = 10
+        default_resolution = (64, 128)
+
+    updateDatasetAndModelConfig(config, _FakeDS)
+
+    torch.manual_seed(7)
+    model = getModel(config)
+    pert = {}
+    if node == "DeformConv" and (offset_scale or offset_bias):
+        # MILD perturbation (realistic trained-offset magnitudes, ~0.3-1 px
+        # — see PARITY.md's measured table). The "wide" regime used by the
+        # forward goldens drives the depth head's 1/sigmoid(x)-1 into an
+        # exponentially ill-conditioned zone where even torch's own f32
+        # backward deviates ~11% from its f64 run — gradients there are
+        # noise on any f32 implementation. The perturbed offset-conv
+        # tensors are stored in the fixture (pert_* keys) so the test can
+        # rebuild this exact state_dict on top of the base forward fixture.
+        with torch.no_grad():
+            gen = torch.Generator().manual_seed(23)
+            for name, p_ in model.named_parameters():
+                if "conv_offset_mask" not in name:
+                    continue
+                if name.endswith(".bias") and offset_bias:
+                    p_[:18] = torch.randn(18, generator=gen) * offset_bias
+                elif name.endswith(".weight"):
+                    p_.normal_(0.0, offset_scale, generator=gen)
+                pert[name] = p_.detach().numpy().copy()
+    model.train()
+
+    # identical-weights float64 clone for the noise-calibration anchor
+    model64 = copy.deepcopy(model).double()
+    model64.train()
+
+    sd0 = model.state_dict()
+    checksum = np.float64(sum(float(v.double().sum()) for v in sd0.values()))
+
+    # ---- realistic target batch at output resolution (16, 32) ----
+    rs = np.random.RandomState(31)
+    B, M, C = 2, 16, 10
+    oh, ow = config.MODEL.OUTPUT_SIZE
+    n_obj = 12
+
+    img = rs.randn(B, 3, 64, 128).astype(np.float32)
+    pc_dep = (np.abs(rs.randn(B, 3, oh, ow)) * 30).astype(np.float32)
+    pc_hm = np.stack([
+        rs.rand(B, oh, ow),                 # normalized depth channel
+        rs.randn(B, oh, ow) * 0.5,          # vx
+        rs.randn(B, oh, ow) * 0.5,          # vz
+    ], axis=1).astype(np.float32)
+    calib = np.tile(np.array(
+        [[400.0, 0, 64, 0], [0, 400.0, 32, 0], [0, 0, 1, 0]], np.float32),
+        (B, 1, 1))
+
+    wh = np.zeros((B, M, 2), np.float32)
+    mask = np.zeros((B, M), np.float32)
+    wh[:, :n_obj] = (rs.rand(B, n_obj, 2) * 5.5 + 0.5).astype(np.float32)
+    mask[:, :n_obj] = 1.0
+    wh[:, n_obj] = [3.0, 3.0]  # masked-off row: must not contribute
+
+    centers = np.stack([rs.rand(B, M) * (ow - 1), rs.rand(B, M) * (oh - 1)],
+                       axis=-1).astype(np.float32)
+    class_ids = rs.randint(0, C, (B, M)).astype(np.int64)
+    batch = {
+        "image": img,
+        "pc_hm": pc_hm,
+        "pc_dep": pc_dep,
+        "calib": calib,
+        "widthHeight": wh,
+        "classIds": class_ids,
+        "mask": mask,
+        "truncMask": (rs.rand(B, M) > 0.6).astype(np.float32),
+        "depth": (rs.rand(B, M, 1) * 40 + 1).astype(np.float32),
+        "reg": rs.randn(B, M, 2).astype(np.float32),
+        "dimension": (np.abs(rs.randn(B, M, 3)) + 0.4).astype(np.float32),
+        "amodal_offset": rs.randn(B, M, 2).astype(np.float32),
+        "velocity": rs.randn(B, M, 3).astype(np.float32),
+        "nuscenes_att": (rs.rand(B, M, 8) > 0.7).astype(np.float32),
+        "nuscenes_att_mask": (rs.rand(B, M, 8) > 0.4).astype(np.float32),
+        "rotbin": rs.randint(0, 2, (B, M, 2)).astype(np.int64),
+        "rotres": (rs.randn(B, M, 2) * 0.4).astype(np.float32),
+        "pc_lidar": np.zeros((B, 3, 24), np.float32),
+        "pc_2d": np.zeros((B, 3, 12), np.float32),
+        "target": {
+            "heatCenters": centers,
+            "bboxes": np.concatenate(
+                [centers - wh / 2, centers + wh / 2], -1).astype(np.float32),
+            "bboxes3d": (rs.randn(B, M, 8, 3) * 5).astype(np.float32),
+        },
+    }
+    for b in range(B):
+        n = 18
+        batch["pc_lidar"][b, 0, :n] = rs.rand(n) * (ow - 1.5) + 0.3
+        batch["pc_lidar"][b, 1, :n] = rs.rand(n) * (oh - 1.5) + 0.3
+        batch["pc_lidar"][b, 2, :n] = rs.rand(n) * 50 + 1
+        n = 9
+        batch["pc_2d"][b, 0, :n] = rs.rand(n) * (ow - 1.5) + 0.3
+        batch["pc_2d"][b, 1, :n] = rs.rand(n) * (oh - 1.5) + 0.3
+        batch["pc_2d"][b, 2, :n] = rs.rand(n) * 50 + 1
+
+    hm = (rs.rand(B, C, oh, ow) * 0.9).astype(np.float32)
+    for b in range(B):
+        for m in range(M):
+            if mask[b, m]:
+                hm[b, class_ids[b, m],
+                   int(centers[b, m, 1]), int(centers[b, m, 0])] = 1.0
+    batch["heatmap0"] = hm
+
+    t = torch.from_numpy
+
+    def to_t(x):
+        if isinstance(x, dict):
+            return {k: to_t(v) for k, v in x.items()}
+        return t(np.asarray(x))
+
+    batch_t = to_t(batch)
+
+    # ---- intermediate-activation capture (layer-level bisect aid) ----
+    # full train-mode feature maps of the backbone levels and every neck
+    # submodule (proj/up/node and their offset convs) in BOTH precisions:
+    # the test localizes any semantic divergence to the first bad layer
+    # instead of observing it smeared over every downstream gradient.
+    def _hook_all(m, store):
+        pat = re.compile(r"^(base\.level\d+|dla_up\..*|ida_up\..*)$")
+        hs = []
+        for nm, mod in m.named_modules():
+            if not nm or not pat.match(nm):
+                continue
+            if next(mod.children(), None) is not None and \
+                    "conv_offset_mask" not in nm:
+                continue  # leaf modules only, except whole DCN nodes below
+
+            def fn(mod_, inp, out, nm=nm):
+                if torch.is_tensor(out):
+                    store[nm] = out.detach().numpy().copy()
+            hs.append(mod.register_forward_hook(fn))
+        # whole aggregation-node outputs (post-BN/ReLU)
+        pat2 = re.compile(
+            r"^(dla_up\.ida_\d+\.(proj|node|up)_\d+|ida_up\.(proj|node|up)_\d+)$")
+        for nm, mod in m.named_modules():
+            if pat2.match(nm):
+                def fn2(mod_, inp, out, nm=nm):
+                    if torch.is_tensor(out):
+                        store[nm] = out.detach().numpy().copy()
+                hs.append(mod.register_forward_hook(fn2))
+        return hs
+
+    acts, acts64 = {}, {}
+    hooks = _hook_all(model, acts) + _hook_all(model64, acts64)
+
+    # ---- forward (train mode) + loss + backward + AdamW step ----
+    outs = model(batch_t["image"], pc_hm=batch_t["pc_hm"],
+                 pc_dep=batch_t["pc_dep"], calib=batch_t["calib"])
+    loss_fn = GenericLoss(config, num_classes=C)
+    loss_fn.train(True)
+    total, losses = loss_fn(outs, batch_t)
+    total.backward()
+
+    names, grad_norms, grads = [], [], {}
+    for n, p_ in model.named_parameters():
+        names.append(n)
+        g = (p_.grad if p_.grad is not None
+             else torch.zeros_like(p_)).detach()
+        grads[n] = g
+        grad_norms.append(float(torch.linalg.vector_norm(g.double())))
+
+    # ---- float64 anchor pass (identical weights, identical batch) ----
+    def to_t64(x):
+        if isinstance(x, dict):
+            return {k: to_t64(v) for k, v in x.items()}
+        tt = t(np.asarray(x))
+        return tt.double() if tt.is_floating_point() else tt
+
+    batch64 = to_t64(batch)
+    outs64 = model64(batch64["image"], pc_hm=batch64["pc_hm"],
+                     pc_dep=batch64["pc_dep"], calib=batch64["calib"])
+    loss_fn64 = GenericLoss(config, num_classes=C).double()
+    loss_fn64.train(True)
+    total64, losses64 = loss_fn64(outs64, batch64)
+    total64.backward()
+    grads64, grad_norms64 = {}, []
+    for n, p_ in model64.named_parameters():
+        g = (p_.grad if p_.grad is not None
+             else torch.zeros_like(p_)).detach()
+        grads64[n] = g
+        grad_norms64.append(float(torch.linalg.vector_norm(g)))
+    for h in hooks:
+        h.remove()
+
+    # post-forward BN running statistics (updated in place by the forward),
+    # from BOTH precisions: the f32 model's batch statistics carry its own
+    # forward noise (~1e-5 relative at deep layers), so only the f64
+    # clone's stats support a tight anchor comparison
+    sd1 = model.state_dict()
+    sd1_64 = model64.state_dict()
+    bn_names = [k for k in sd1
+                if k.endswith("running_mean") or k.endswith("running_var")]
+    bn_norms = [float(torch.linalg.vector_norm(sd1[k].double()))
+                for k in bn_names]
+    bn_norms64 = [float(torch.linalg.vector_norm(sd1_64[k]))
+                  for k in bn_names]
+    bn_full = bn_names[:2] + bn_names[-2:]
+
+    # representative subset: stem, tree conv, BN affine, neck node conv,
+    # bilinear up, head towers (+ DCN offset conv when present)
+    pats = [
+        r"^base\.base_layer\.0\.weight$",
+        r"^base\.level0\.0\.weight$",
+        r"^base\.level2\..*conv1\.weight$",
+        r"^base\.level2\..*bn1\.weight$",
+        r"^base\.level2\..*bn1\.bias$",
+        r"^dla_up\..*conv\.weight$",
+        r"^dla_up\..*actf\.0\.weight$",
+        r"^ida_up\..*up_.*\.weight$",
+        r"heatmap\.\d+\.weight$",
+        r"heatmap\.\d+\.bias$",
+        r"velocity\..*\.weight$",
+        r"depth2\..*\.weight$",
+        r"conv_offset_mask\.weight$",
+        r"conv_offset_mask\.bias$",
+    ]
+    chosen = []
+    for pat in pats:
+        for n in names:
+            if re.search(pat, n) and n not in chosen:
+                chosen.append(n)
+                break
+
+    lr = 2.5e-4
+    opt = torch.optim.AdamW(model.parameters(), lr, weight_decay=5e-4)
+    opt.step()
+    sd_post = {n: p_.detach().numpy().copy()
+               for n, p_ in model.named_parameters()}
+    # f64 AdamW step on the anchor clone: at t=1 Adam's update is
+    # ~lr*sign(g), so noise-floor f32 gradient sign flips shift post-step
+    # values by ~2*lr — an f64-vs-f64 post comparison is the only tight one
+    opt64 = torch.optim.AdamW(model64.parameters(), lr, weight_decay=5e-4)
+    opt64.step()
+    sd_post64 = {n: p_.detach().numpy().copy()
+                 for n, p_ in model64.named_parameters()}
+
+    blob = {"in_img": img, "in_pc_dep": pc_dep, "in_pc_hm": pc_hm,
+            "in_calib": calib, "sd_checksum": checksum,
+            "lr": np.float64(lr)}
+    for k, v in acts.items():
+        blob[f"act_{k}"] = v
+    for k, v in acts64.items():
+        blob[f"act64_{k}"] = v
+    for k, v in outs[-1].items():
+        if torch.is_tensor(v):
+            blob[f"fwd_{k}"] = v.detach().numpy().copy()
+            blob[f"fwd64_{k}"] = outs64[-1][k].detach().numpy().copy()
+    for k, v in pert.items():
+        blob[f"pert_{k}"] = v
+    for k, v in batch.items():
+        if k in ("image", "pc_hm", "pc_dep", "calib"):
+            continue
+        if k == "target":
+            for k2, v2 in v.items():
+                blob[f"target_{k2}"] = v2
+        else:
+            blob[f"batch_{k}"] = v
+    for k, v in losses.items():
+        blob[f"loss_{k}"] = np.float64(float(v))
+    blob["loss_total_ret"] = np.float64(float(total))
+    for k, v in losses64.items():
+        blob[f"loss64_{k}"] = np.float64(float(v))
+    blob["loss64_total_ret"] = np.float64(float(total64))
+    blob["grad_names"] = np.array(names)
+    blob["grad_norms"] = np.array(grad_norms, np.float64)
+    blob["grad_norms64"] = np.array(grad_norms64, np.float64)
+    blob["bnstat_names"] = np.array(bn_names)
+    blob["bnstat_norms"] = np.array(bn_norms, np.float64)
+    blob["bnstat_norms64"] = np.array(bn_norms64, np.float64)
+    for k in bn_full:
+        blob[f"bnfull_{k}"] = sd1[k].numpy().copy()
+        blob[f"bnfull64_{k}"] = sd1_64[k].numpy().copy()
+    blob["sub_names"] = np.array(chosen)
+    for i, n in enumerate(chosen):
+        blob[f"subgrad_{i}"] = grads[n].numpy().copy()
+        blob[f"subgrad64_{i}"] = grads64[n].numpy().copy()
+        blob[f"subpost_{i}"] = sd_post[n]
+        blob[f"subpost64_{i}"] = sd_post64[n]
+    name = f"train_step{tag}.npz"
+    np.savez_compressed(os.path.join(out_dir, name), **blob)
+    print(f"wrote {name} ({len(blob)} arrays, {len(chosen)} subset params, "
+          f"loss={float(total):.4f})")
+
+
 def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--ref", default="/root/reference/src/lib")
+    ap.add_argument("--only", default=None,
+                    help="comma-separated generator suffixes to run "
+                         "(e.g. 'train_step,optimizer'); default: all")
     ap.add_argument(
         "--out",
         default=os.path.join(os.path.dirname(__file__), "..", "tests",
@@ -2171,34 +2559,53 @@ def main():
     out_dir = os.path.abspath(args.out)
     os.makedirs(out_dir, exist_ok=True)
 
-    gen_decode(torch, out_dir)
-    gen_losses(torch, out_dir)
-    gen_schedule(torch, out_dir)
-    gen_convbn(torch, out_dir)
-    gen_dcn(torch, out_dir)
-    gen_frustum(torch, out_dir)
-    gen_geometry(torch, out_dir)
-    gen_postprocess(torch, out_dir)
-    gen_radar(torch, out_dir)
-    gen_targets(torch, out_dir)
-    gen_eval_accumulate(torch, out_dir)
-    gen_eval_format(torch, out_dir)
-    gen_generic_loss(torch, out_dir)
-    gen_multisweep(torch, out_dir)
-    gen_eval_filter(torch, out_dir)
-    gen_detector_preprocess(torch, out_dir)
-    gen_legacy_names(torch, out_dir)
-    gen_model(torch, out_dir)
-    gen_model(torch, out_dir, node="GlobalConv", tag="_globalconv")
-    gen_model(torch, out_dir, fusion="early", tag="_early")
-    gen_model(torch, out_dir, node="DeformConv", tag="_dcn")
-    gen_model(torch, out_dir, frustum=True, tag="_frustum")
-    gen_model(torch, out_dir, node="DeformConv", tag="_dcn_wide",
-              offset_scale=0.3, offset_bias=1.5)
-    gen_model(torch, out_dir, node="DeformConv", frustum=True,
-              tag="_dcn_wide_frustum", offset_scale=0.3, offset_bias=1.5)
-    gen_model(torch, out_dir, node="DeformConv", frustum=True,
-              tag="_dcn_frustum")
+    generators = [
+        ("decode", lambda: gen_decode(torch, out_dir)),
+        ("losses", lambda: gen_losses(torch, out_dir)),
+        ("schedule", lambda: gen_schedule(torch, out_dir)),
+        ("convbn", lambda: gen_convbn(torch, out_dir)),
+        ("dcn", lambda: gen_dcn(torch, out_dir)),
+        ("frustum", lambda: gen_frustum(torch, out_dir)),
+        ("geometry", lambda: gen_geometry(torch, out_dir)),
+        ("postprocess", lambda: gen_postprocess(torch, out_dir)),
+        ("radar", lambda: gen_radar(torch, out_dir)),
+        ("targets", lambda: gen_targets(torch, out_dir)),
+        ("eval_accumulate", lambda: gen_eval_accumulate(torch, out_dir)),
+        ("eval_format", lambda: gen_eval_format(torch, out_dir)),
+        ("generic_loss", lambda: gen_generic_loss(torch, out_dir)),
+        ("multisweep", lambda: gen_multisweep(torch, out_dir)),
+        ("eval_filter", lambda: gen_eval_filter(torch, out_dir)),
+        ("detector_preprocess",
+         lambda: gen_detector_preprocess(torch, out_dir)),
+        ("legacy_names", lambda: gen_legacy_names(torch, out_dir)),
+        ("optimizer", lambda: gen_optimizer(torch, out_dir)),
+        ("model", lambda: gen_model(torch, out_dir)),
+        ("model", lambda: gen_model(torch, out_dir, node="GlobalConv",
+                                    tag="_globalconv")),
+        ("model", lambda: gen_model(torch, out_dir, fusion="early",
+                                    tag="_early")),
+        ("model", lambda: gen_model(torch, out_dir, node="DeformConv",
+                                    tag="_dcn")),
+        ("model", lambda: gen_model(torch, out_dir, frustum=True,
+                                    tag="_frustum")),
+        ("model", lambda: gen_model(torch, out_dir, node="DeformConv",
+                                    tag="_dcn_wide",
+                                    offset_scale=0.3, offset_bias=1.5)),
+        ("model", lambda: gen_model(torch, out_dir, node="DeformConv",
+                                    frustum=True, tag="_dcn_wide_frustum",
+                                    offset_scale=0.3, offset_bias=1.5)),
+        ("model", lambda: gen_model(torch, out_dir, node="DeformConv",
+                                    frustum=True, tag="_dcn_frustum")),
+        ("train_step", lambda: gen_train_step(torch, out_dir)),
+        ("train_step", lambda: gen_train_step(
+            torch, out_dir, node="DeformConv", tag="_dcn",
+            offset_scale=0.05, offset_bias=0.4)),
+    ]
+    only = (set(s.strip() for s in args.only.split(","))
+            if args.only else None)
+    for name, thunk in generators:
+        if only is None or name in only:
+            thunk()
 
 
 if __name__ == "__main__":
