@@ -31,27 +31,32 @@ def detections_to_results(processed: Dict[str, np.ndarray], img_ids,
     """
     results: Dict[int, List[dict]] = {}
     scores = np.asarray(processed["scores"])
-    b, k = scores.shape
+    dims = np.asarray(processed["dimension"])
+    classes = np.asarray(processed["classIds"], np.float64)
+    locations = np.asarray(processed["locations"])
+    yaws = np.asarray(processed["yaws"], np.float64)
+    extras = [("bboxes" if key == "bboxes" else key,
+               "bbox" if key == "bboxes" else key,
+               np.asarray(processed[key]))
+              for key in ("bboxes", "nuscenes_att", "velocity")
+              if key in processed]
+    # vectorized keep filter + bulk scalar conversion: the per-item numpy
+    # scalar extraction loop costs ~10 ms/batch on a 1-core serving host
+    keep = (scores > conf_thresh) & (dims > 0).all(axis=-1)
+    b, _ = scores.shape
     for bi in range(b):
+        (kis,) = np.nonzero(keep[bi])
         items = []
-        for ki in range(k):
-            if scores[bi, ki] <= conf_thresh:
-                continue
-            dim = np.asarray(processed["dimension"][bi, ki])
-            if np.any(dim <= 0):
-                continue
+        for ki in kis.tolist():
             item = {
-                "class": float(np.asarray(processed["classIds"][bi, ki])),
+                "class": float(classes[bi, ki]),
                 "score": float(scores[bi, ki]),
-                "dimension": dim,
-                "location": np.asarray(processed["locations"][bi, ki]),
-                "yaw": float(np.asarray(processed["yaws"][bi, ki])),
+                "dimension": dims[bi, ki],
+                "location": locations[bi, ki],
+                "yaw": float(yaws[bi, ki]),
             }
-            for key in ("bboxes", "nuscenes_att", "velocity"):
-                if key in processed:
-                    item[
-                        "bbox" if key == "bboxes" else key
-                    ] = np.asarray(processed[key][bi, ki])
+            for _, out_key, arr in extras:
+                item[out_key] = arr[bi, ki]
             items.append(item)
         results[int(img_ids[bi])] = items
     return results
