@@ -46,12 +46,34 @@ def bench_e2e():
     det = Detector(cfg, batch_size=BATCH)
     rng = np.random.RandomState(0)
 
+    def synth_frame(i: int) -> np.ndarray:
+        """Naturalistic 1600x900 synthetic road scene.
+
+        Pure random noise is the JPEG worst case (measured: 1.7 MB files,
+        18-26 ms reduced-2 decode vs 2.8 ms for a smooth frame on this
+        host); real nuScenes camera JPEGs are ~100-250 KB. Gradient sky/
+        road + blurred texture + rectangle 'objects' lands in that real
+        file-size band so the decode stage measures a representative cost,
+        not the adversarial ceiling."""
+        yy, xx = np.mgrid[0:900, 0:1600].astype(np.float32)
+        base = np.stack(
+            [120 + 60 * yy / 900, 130 + 40 * xx / 1600,
+             110 + 50 * (1 - yy / 900)], -1)
+        tex = cv2.GaussianBlur(
+            (rng.rand(900, 1600, 3) * 255).astype(np.float32), (0, 0), 3)
+        img = np.clip(base * 0.55 + tex * 0.45, 0, 255).astype(np.uint8)
+        for _ in range(12):  # boxy structures: cars, buildings, signs
+            x0, y0 = rng.randint(0, 1400), rng.randint(300, 800)
+            w0, h0 = rng.randint(60, 220), rng.randint(40, 140)
+            color = tuple(int(c) for c in rng.randint(30, 225, 3))
+            cv2.rectangle(img, (x0, y0), (x0 + w0, y0 + h0), color, -1)
+        return img
+
     with tempfile.TemporaryDirectory() as d:
         paths = []
         for i in range(BATCH):
-            img = (rng.rand(900, 1600, 3) * 255).astype(np.uint8)
             p = f"{d}/cam{i}.jpg"
-            cv2.imwrite(p, img)
+            cv2.imwrite(p, synth_frame(i))
             paths.append(p)
         radar = np.zeros((18, 60), np.float32)
         radar[0] = rng.randn(60) * 20

@@ -376,6 +376,15 @@ class Detector:
         return processed, {k: v for k, v in extras.items() if v is not None}
 
     def process(self, batch, metas):
+        t0 = _time.perf_counter()
+        out = self._process_inner(batch, metas)
+        # dispatch = host time to assemble/ship the batch and enqueue the
+        # device program (the H2D transfer + trace-cache lookup), NOT device
+        # execution — the program completes asynchronously
+        self._acc_stage("dispatch", _time.perf_counter() - t0)
+        return out
+
+    def _process_inner(self, batch, metas):
         oh, ow = self.config.MODEL.OUTPUT_SIZE
         # per-image inverse matrices: folders/videos may mix frame sizes
         trans_inv = stack_inverse_transforms(
@@ -483,7 +492,7 @@ class Detector:
 
     # ------------------------------------------------------------- streaming
     def run_stream(self, frames, prefetch: int = 2, depth: int = 8,
-                   workers: int = 1):
+                   workers: int = 1, fetch_workers: int = 2):
         """Pipelined inference over an iterable of frames.
 
         ``frames`` yields (images, img_infos, radar_pcs) tuples (same
@@ -502,12 +511,22 @@ class Detector:
         16.9/23.3/25.3/24.3 fps at depth 2/4/8/12). Extra in-flight batches
         only cost device memory (~10 MB each).
 
+        The blocking device->host result fetch runs on ``fetch_workers``
+        side threads rather than in this generator: the fetch is mostly
+        tunnel/PCIe WAIT with the GIL released, so moving it off the
+        consumer guarantees the producer's JPEG decode always has the core
+        during that wait — measured on the 1-core host, in-line fetches
+        showed ~zero realized overlap (wall = sum of stages) while decoupled
+        fetches hide the entire ~16 ms/batch behind decode. Results still
+        yield strictly in input order.
+
         Yields the same result dict as ``run`` per input batch. Abandoning
         the generator early (``break`` / ``close()``) unblocks and reaps the
         producer thread instead of leaking it on the bounded queue.
         """
         import queue as _queue
         import threading as _threading
+        from concurrent.futures import ThreadPoolExecutor as _Pool
 
         pre_q: _queue.Queue = _queue.Queue(maxsize=max(1, prefetch))
         _END = object()
@@ -516,9 +535,11 @@ class Detector:
 
         def put(item) -> bool:
             """Bounded put that gives up when the consumer is gone."""
+            t0 = _time.perf_counter()
             while not stop.is_set():
                 try:
                     pre_q.put(item, timeout=0.1)
+                    self._acc_stage("put_wait", _time.perf_counter() - t0)
                     return True
                 except _queue.Full:
                     continue
@@ -561,23 +582,31 @@ class Detector:
         t.start()
 
         inflight: List = []
+        fetchers = _Pool(max_workers=max(1, fetch_workers),
+                         thread_name_prefix="cfd3d-fetch")
         try:
             while True:
+                tg = _time.perf_counter()
                 item = pre_q.get()
+                # consumer idle waiting on host preprocessing — on a 1-core
+                # host this is where most of the wall time shows up (the
+                # producer owns the core for decode)
+                self._acc_stage("get_wait", _time.perf_counter() - tg)
                 if item is _END:
                     break
                 batch, metas = item
                 processed, extras = self.process(batch, metas)
                 # pack at dispatch time and start the device->host copy NOW
-                # so it streams while later batches compute; the fetch in
-                # _finalize_stream then reads an already-local buffer
+                # so it streams while later batches compute; the fetch thread
+                # then blocks on an already-moving (or local) buffer
                 packed, rest = _pack_detections(processed)
                 _start_host_copy(packed[0] if packed is not None else rest)
-                inflight.append((packed, rest, extras, metas))
+                inflight.append(fetchers.submit(
+                    self._finalize_stream, packed, rest, extras, metas))
                 if len(inflight) >= depth:
-                    yield self._finalize_stream(*inflight.pop(0))
-            for entry in inflight:
-                yield self._finalize_stream(*entry)
+                    yield inflight.pop(0).result()
+            for fut in inflight:
+                yield fut.result()
             if err:
                 raise err[0]
         finally:
@@ -589,6 +618,9 @@ class Detector:
                 except _queue.Empty:
                     break
             t.join(timeout=5.0)
+            # don't wait on in-flight fetches: a wedged tunnel fetch should
+            # not block generator close; pool threads are reaped at exit
+            fetchers.shutdown(wait=False, cancel_futures=True)
 
     def _finalize_stream(self, packed, rest, extras, metas) -> Dict:
         t0 = _time.perf_counter()

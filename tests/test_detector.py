@@ -185,6 +185,41 @@ def test_run_stream_abandonment_reaps_producer(detector, rng):
     assert threading.active_count() <= before, "producer thread leaked"
 
 
+def test_run_stream_order_with_decoupled_fetch(detector, rng):
+    """Results must yield strictly in input order even though the blocking
+    device->host fetches run on side threads (fetch_workers>1) that can
+    complete out of order."""
+    imgs = [(rng.rand(240, 320, 3) * 255).astype(np.uint8) for _ in range(6)]
+
+    def frames():
+        for i, img in enumerate(imgs):
+            # distinct per-batch img_info rides through to metas untouched
+            yield ([img], [{"width": 320, "height": 240 + i}],
+                   [np.zeros((18, 0), np.float32)])
+
+    heights = [
+        ret["metas"][0]["height"]
+        for ret in detector.run_stream(frames(), depth=3, fetch_workers=3)
+    ]
+    assert heights == [240 + i for i in range(6)]
+    # overlap accounting stages exist on the streaming path
+    stats = detector.stage_stats()
+    assert {"get_wait", "dispatch", "fetch"} <= set(stats)
+
+
+def test_run_stream_propagates_producer_error(detector, rng):
+    """An exception in the frames iterable / host preprocessing surfaces to
+    the consumer instead of hanging the pipeline."""
+    def frames():
+        yield ([(rng.rand(240, 320, 3) * 255).astype(np.uint8)], None,
+               [np.zeros((18, 0), np.float32)])
+        raise RuntimeError("boom in producer")
+
+    with pytest.raises(RuntimeError, match="boom in producer"):
+        for _ in detector.run_stream(frames(), depth=2):
+            pass
+
+
 def test_detector_normalizes_float_frames(detector, rng):
     """Float [0,255] frames get the same /255-mean/std treatment as uint8
     (the normalization is fused on-device for both dtypes)."""
