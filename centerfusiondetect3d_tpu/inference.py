@@ -29,6 +29,12 @@ def parse_args(argv=None):
                    help="save depth/attention-map overlays next to the frames "
                         "(showAttention analogue, generic_dataset.py:1208-1237)")
     p.add_argument("--conf-thresh", type=float, default=0.3)
+    p.add_argument("--stream", action="store_true",
+                   help="pipeline folder/video input through "
+                        "Detector.run_stream (decode/compute/fetch overlap; "
+                        "measured ~1.5x the serial per-frame path on a "
+                        "1-core host). Incompatible with --save-dir, which "
+                        "needs the decoded frames per result.")
     p.add_argument("opts", nargs="*", default=[])
     return p.parse_args(argv)
 
@@ -124,6 +130,35 @@ def main(argv=None):
     all_results = {}
     if args.save_dir:
         os.makedirs(args.save_dir, exist_ok=True)
+
+    if args.stream and args.save_dir:
+        print("--stream is incompatible with --save-dir (streaming results "
+              "carry no decoded frames); falling back to the serial path")
+        args.stream = False
+
+    if args.stream:
+        # pipelined path: decode/warp in a producer thread, device programs
+        # in flight, fetches on side threads (Detector.run_stream)
+        names = []
+
+        def frames():
+            for name, frame in iter_frames(args.input):
+                names.append(name)
+                yield ([frame], None, None)
+
+        n = 0
+        for ret in detector.run_stream(frames()):
+            items = ret["results"][0]
+            all_results[names[n]] = [
+                {k: (v.tolist() if isinstance(v, np.ndarray) else v)
+                 for k, v in it.items()}
+                for it in items
+            ]
+            n += 1
+        stats = detector.stage_stats()
+        print(f"processed {n} frames (streamed) | "
+              + " ".join(f"{k} {v:.1f}ms" for k, v in sorted(stats.items())))
+        return all_results
 
     n = 0
     for name, frame in iter_frames(args.input):

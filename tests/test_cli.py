@@ -32,6 +32,33 @@ def test_inference_cli(tmp_path, rng):
     assert "frame.jpg" in saved
 
 
+@pytest.mark.slow
+def test_inference_cli_stream(tmp_path, rng):
+    """--stream pipelines a folder through run_stream; results keyed per
+    frame in input order, identical keys to the serial path."""
+    import cv2
+
+    from centerfusiondetect3d_tpu import inference as inf
+
+    src = tmp_path / "frames"
+    src.mkdir()
+    for i in range(4):
+        cv2.imwrite(str(src / f"f{i}.jpg"),
+                    (rng.rand(120, 160, 3) * 255).astype(np.uint8))
+    opts = [
+        "--input", str(src), "--conf-thresh", "-2", "--stream",
+        "MODEL.INPUT_SIZE", "(64, 128)", "MODEL.DLA.NODE", "Conv",
+        "MODEL.K", "8", "DATASET.RADAR_PC", "False",
+        "MIXED_PRECISION", "False",
+    ]
+    results = inf.main(opts)
+    assert list(results) == [f"f{i}.jpg" for i in range(4)]
+    serial = inf.main([o for o in opts if o != "--stream"])
+    assert list(serial) == list(results)
+    for k in results:
+        assert len(results[k]) == len(serial[k])
+
+
 def test_eval_cli(tmp_path):
     """evaluation CLI over synthetic raw tables + a perfect submission."""
     from centerfusiondetect3d_tpu.evaluation import cli as ecli
