@@ -151,6 +151,12 @@ def default_config() -> ConfigNode:
     # measured at bs12 — the shift-DCN accumulations stop fusing); Detector
     # splits larger batches into sequential programs of this size. 0 = off.
     c.TEST.MAX_DEVICE_BATCH = 6
+    # serving path: paint the radar depth map ON DEVICE from compact
+    # per-point (box, value) rows instead of shipping the dense raster —
+    # bit-identical to the host paint (ops/rasterize.py docstring) and ~10x
+    # fewer host->device bytes for the radar branch. Falls back to the host
+    # raster for ONE_HOT_PC (per-bucket overwrite history is host-painted).
+    c.TEST.DEVICE_RASTERIZE = True
 
     # --- TPU-native runtime options (replace GPUS/DDP/CUDNN sections) -------
     c.TPU = ConfigNode()

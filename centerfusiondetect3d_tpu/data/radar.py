@@ -131,28 +131,15 @@ def draw_pc_points(depth_map, points_xy, depths, max_dist: int, one_hot: bool,
     return depth_map
 
 
-def process_point_cloud(pc_2d, pc_3d, config, trans_out, calib):
-    """Transform + rasterize the radar cloud (generic_dataset.py:738-828).
+def _build_boxes(transformed, pc_3d, method, config, trans_out, calib,
+                 out_h, out_w) -> np.ndarray:
+    """Per-point integer paint rectangles [y1, y2, x1, x2), exclusive stops.
 
-    Returns (transformed pc_2d (3, N'), masked pc_3d, depth_map NHWC).
+    The shared box arithmetic of the pillars/heatmap ROI methods
+    (generic_dataset.py:798-827); the paint itself is applied either by the
+    host C++ kernel or on-device (ops/rasterize.py) from the same rows.
     """
-    out_h, out_w = config.MODEL.OUTPUT_SIZE
-    transformed, mask = transform_point_cloud(pc_2d, trans_out, out_w, out_h)
-    one_hot = bool(config.DATASET.ONE_HOT_PC)
-    max_dist = int(config.DATASET.MAX_PC_DIST)
-    depth_map = empty_depth_map((out_h, out_w), max_dist, one_hot)
-
-    if mask is not None:
-        pc_3d = pc_3d[:, mask]
     n = transformed.shape[1]
-
-    method = config.DATASET.PC_ROI_METHOD
-    if method == "points":
-        depth_map = draw_pc_points(
-            depth_map, transformed[:2], transformed[2], max_dist, one_hot, pc_3d
-        )
-        return transformed, pc_3d, depth_map
-
     if method == "pillars":
         pw_ph = pillar_sizes(
             pc_3d, calib, trans_out, (out_h, out_w), config.DATASET.PILLAR_DIMS
@@ -178,7 +165,69 @@ def process_point_cloud(pc_2d, pc_3d, config, trans_out, calib):
         else:
             raise ValueError(f"invalid PC_ROI_METHOD {method!r}")
         boxes[i] = np.round(box).astype(np.int32)
+    return boxes
 
+
+def _point_values(transformed, pc_3d) -> np.ndarray:
+    """(N, 3) [depth, vx, vz] paint values for each point."""
+    n = transformed.shape[1]
+    depths = transformed[2, :n].astype(np.float32)
+    vels = (pc_3d[8:10, :n].astype(np.float32)
+            if pc_3d.shape[0] > 9 else np.zeros((2, n), np.float32))
+    return np.stack([depths, vels[0], vels[1]], axis=1)
+
+
+def process_point_cloud_rows(pc_2d, pc_3d, config, trans_out, calib):
+    """Transform the cloud and return the PAINT ROWS instead of painting.
+
+    Returns (transformed pc_2d (3, N'), masked pc_3d, boxes (N', 4) int32,
+    values (N', 3) float32): painting values[i] into boxes[i] for
+    i = 0..N'-1 in order reproduces ``process_point_cloud``'s depth map
+    exactly (ONE_HOT_PC excluded — its per-bucket overwrite history needs
+    the host paint). Consumed by the device rasterizer (ops/rasterize.py).
+    """
+    out_h, out_w = config.MODEL.OUTPUT_SIZE
+    transformed, mask = transform_point_cloud(pc_2d, trans_out, out_w, out_h)
+    if mask is not None:
+        pc_3d = pc_3d[:, mask]
+    method = config.DATASET.PC_ROI_METHOD
+    if method == "points":
+        # single-pixel scatter: a 1x1 box at the truncated coordinate
+        # (draw_pc_points' integer cast; last write wins either way)
+        pts = transformed[:2].astype(np.int32)
+        boxes = np.stack(
+            [pts[1], pts[1] + 1, pts[0], pts[0] + 1], axis=1
+        ).astype(np.int32)
+    else:
+        boxes = _build_boxes(transformed, pc_3d, method, config, trans_out,
+                             calib, out_h, out_w)
+    return transformed, pc_3d, boxes, _point_values(transformed, pc_3d)
+
+
+def process_point_cloud(pc_2d, pc_3d, config, trans_out, calib):
+    """Transform + rasterize the radar cloud (generic_dataset.py:738-828).
+
+    Returns (transformed pc_2d (3, N'), masked pc_3d, depth_map NHWC).
+    """
+    out_h, out_w = config.MODEL.OUTPUT_SIZE
+    transformed, mask = transform_point_cloud(pc_2d, trans_out, out_w, out_h)
+    one_hot = bool(config.DATASET.ONE_HOT_PC)
+    max_dist = int(config.DATASET.MAX_PC_DIST)
+    depth_map = empty_depth_map((out_h, out_w), max_dist, one_hot)
+
+    if mask is not None:
+        pc_3d = pc_3d[:, mask]
+    n = transformed.shape[1]
+
+    method = config.DATASET.PC_ROI_METHOD
+    if method == "points":
+        depth_map = draw_pc_points(
+            depth_map, transformed[:2], transformed[2], max_dist, one_hot, pc_3d
+        )
+        return transformed, pc_3d, depth_map
+
+    boxes = _build_boxes(transformed, pc_3d, method, config, trans_out, calib,
+                         out_h, out_w)
     depths = transformed[2, :n].astype(np.float32)
     vels = pc_3d[8:10, :n].astype(np.float32) if pc_3d.shape[0] > 9 else np.zeros((2, n), np.float32)
     if not _native_paint(depth_map, boxes, depths, vels, max_dist, one_hot):
@@ -203,14 +252,43 @@ def _native_paint(depth_map, boxes, depths, vels, max_dist, one_hot) -> bool:
     return paint_rects_channels(depth_map, boxes, values, channels)
 
 
+def paint_rows_host(boxes: np.ndarray, values: np.ndarray,
+                    out_size) -> np.ndarray:
+    """Paint (N, 4) boxes / (N, 3) values host-side (non-one-hot layout).
+
+    Same overwrite-order semantics as the device rasterizer; used when a
+    batch mixes device-paint rows with host rasters (MAX_PC overflow)."""
+    depth_map = np.zeros((*out_size, 3), np.float32)
+    from ..native import paint_rects
+
+    boxes = np.ascontiguousarray(boxes, np.int32)
+    values = np.ascontiguousarray(values, np.float32)
+    if paint_rects(depth_map, boxes, values):
+        return depth_map
+    h, w = out_size
+    for (y1, y2, x1, x2), v in zip(boxes, values):
+        y1, x1 = max(int(y1), 0), max(int(x1), 0)
+        y2, x2 = min(int(y2), h), min(int(x2), w)
+        if y2 > y1 and x2 > x1:
+            depth_map[y1:y2, x1:x2] = v
+    return depth_map
+
+
 def prepare_radar_points(radar_pc: np.ndarray, img_info: dict, config,
                          trans_out, flipped: bool = False,
-                         img_width: int = None, img_height: int = None):
+                         img_width: int = None, img_height: int = None,
+                         return_paint: bool = False):
     """Full per-sample radar prep (nuscenes.py:131-219): distance filter,
     z-offset, projection, depth sort (nearest last unless points-method),
     flip, rasterize, pad to MAX_PC.
 
     Returns (pc_2d (3, MAX_PC), pc_N, pc_dep NHWC, pc_3d (18, MAX_PC)).
+
+    ``return_paint=True`` (serving fast path, not ONE_HOT_PC): skip the
+    host paint and return ``(boxes (MAX_PC, 4) int32, values (MAX_PC, 3)
+    float32)`` in place of ``pc_dep`` — the device rasterizer
+    (ops/rasterize.py) paints the identical map on-chip from ~10x fewer
+    transferred bytes. Padded rows are all-zero (cover nothing).
     """
     radar_pc = np.asarray(radar_pc, np.float32)
     img_width = img_width or img_info["width"]
@@ -240,7 +318,17 @@ def prepare_radar_points(radar_pc: np.ndarray, img_info: dict, config,
         pc_3d[8, :] *= -1
 
     calib = np.asarray(img_info["calib"], np.float32)
-    pc_2d, pc_3d, pc_dep = process_point_cloud(pc_2d, pc_3d, config, trans_out, calib)
+    if return_paint:
+        if config.DATASET.ONE_HOT_PC:
+            raise ValueError("return_paint does not support ONE_HOT_PC "
+                             "(per-bucket overwrite history is host-painted)")
+        pc_2d, pc_3d, boxes, values = process_point_cloud_rows(
+            pc_2d, pc_3d, config, trans_out, calib
+        )
+    else:
+        pc_2d, pc_3d, pc_dep = process_point_cloud(
+            pc_2d, pc_3d, config, trans_out, calib
+        )
     pc_n = np.int32(pc_2d.shape[1])
 
     max_pc = config.DATASET.MAX_PC
@@ -249,4 +337,10 @@ def prepare_radar_points(radar_pc: np.ndarray, img_info: dict, config,
     pc_2d_pad[:, :n] = pc_2d[:, :n]
     pc_3d_pad = np.zeros((pc_3d.shape[0], max_pc), np.float32)
     pc_3d_pad[:, :n] = pc_3d[:, :n]
+    if return_paint:
+        boxes_pad = np.zeros((max_pc, 4), np.int32)
+        boxes_pad[:n] = boxes[:n]
+        values_pad = np.zeros((max_pc, 3), np.float32)
+        values_pad[:n] = values[:n]
+        return pc_2d_pad, pc_n, (boxes_pad, values_pad), pc_3d_pad
     return pc_2d_pad, pc_n, pc_dep, pc_3d_pad

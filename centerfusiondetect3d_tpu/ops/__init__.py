@@ -14,3 +14,6 @@ __all__ = [
 from .tta import flip_forward, SYMMETRIC_HEADS
 
 __all__ += ["flip_forward", "SYMMETRIC_HEADS"]
+from .rasterize import paint_rects_device, paint_rects_device_batch
+
+__all__ += ["paint_rects_device", "paint_rects_device_batch"]

@@ -322,19 +322,45 @@ class Detector:
                 info_full.setdefault(
                     "camera_intrinsic", calib[:3, :3].tolist()
                 )
+                # device-rasterize fast path: ship compact (box, value) rows
+                # and paint the depth map on-chip (ops/rasterize.py) — ~10x
+                # fewer bytes per camera, bit-identical map. Host raster for
+                # one-hot layouts and on MAX_PC row overflow (the host paint
+                # covers ALL points, the fixed-shape rows only MAX_PC).
+                use_rows = (bool(cfg.TEST.get("DEVICE_RASTERIZE", True))
+                            and not cfg.DATASET.ONE_HOT_PC)
                 tr = _time.perf_counter()
-                _, _, pc_dep, _ = prepare_radar_points(
-                    radar, info_full, cfg, trans_out, False, w, h
+                _, pc_n, payload, _ = prepare_radar_points(
+                    radar, info_full, cfg, trans_out, False, w, h,
+                    return_paint=use_rows,
                 )
+                if use_rows and int(pc_n) > int(cfg.DATASET.MAX_PC):
+                    _, _, payload, _ = prepare_radar_points(
+                        radar, info_full, cfg, trans_out, False, w, h
+                    )
                 self._acc_stage("rasterize", _time.perf_counter() - tr)
-                batch_pc.append(pc_dep)
+                batch_pc.append(payload)
 
         batch = {
             "image": np.stack(batch_imgs),
             "calib": np.stack(calibs),
         }
         if batch_pc:
-            batch["pc_dep"] = np.stack(batch_pc)
+            if any(isinstance(p, tuple) for p in batch_pc):
+                if all(isinstance(p, tuple) for p in batch_pc):
+                    batch["pc_boxes"] = np.stack([p[0] for p in batch_pc])
+                    batch["pc_values"] = np.stack([p[1] for p in batch_pc])
+                else:  # rare mixed batch (some images overflowed MAX_PC)
+                    from ..data.radar import paint_rows_host
+
+                    out_size = cfg.MODEL.OUTPUT_SIZE
+                    batch["pc_dep"] = np.stack([
+                        p if not isinstance(p, tuple)
+                        else paint_rows_host(p[0], p[1], out_size)
+                        for p in batch_pc
+                    ])
+            else:
+                batch["pc_dep"] = np.stack(batch_pc)
         return batch, metas
 
     def _forward(self, variables, image, pc_dep, calib, trans_inv):
@@ -348,6 +374,14 @@ class Detector:
         host-side pre_process applied unconditionally.
         """
         cfg = self.config
+        if isinstance(pc_dep, tuple):
+            # compact paint rows -> on-device raster (ops/rasterize.py):
+            # bit-identical to the host paint, fused into the same program
+            from ..ops.rasterize import paint_rects_device_batch
+
+            pc_dep = paint_rects_device_batch(
+                pc_dep[0], pc_dep[1], cfg.MODEL.OUTPUT_SIZE
+            )
         image = (image.astype(jnp.float32) / 255.0
                  - jnp.asarray(self.mean)) / jnp.asarray(self.std)
         if cfg.TEST.FLIP_TEST:
@@ -391,7 +425,13 @@ class Detector:
             [m["center"] for m in metas], [m["scale"] for m in metas], (ow, oh)
         )
         image = np.asarray(batch["image"])
-        pc_dep = np.asarray(batch["pc_dep"]) if "pc_dep" in batch else None
+        if "pc_boxes" in batch:
+            pc_dep = (np.asarray(batch["pc_boxes"]),
+                      np.asarray(batch["pc_values"]))
+        elif "pc_dep" in batch:
+            pc_dep = np.asarray(batch["pc_dep"])
+        else:
+            pc_dep = None
         calib = np.asarray(batch["calib"])
         trans_inv = np.asarray(trans_inv)
         nimg = image.shape[0]
@@ -412,21 +452,33 @@ class Detector:
                     "regress ~1.5-3x on v5e via an XLA fusion cliff)",
                     nimg, max_db,
                 )
+            def _slice_pc(s, e):
+                if pc_dep is None:
+                    return None
+                if isinstance(pc_dep, tuple):
+                    return (jnp.asarray(pc_dep[0][s:e]),
+                            jnp.asarray(pc_dep[1][s:e]))
+                return jnp.asarray(pc_dep[s:e])
+
             chunks = []
             for s in range(0, nimg, max_db):
                 e = min(s + max_db, nimg)
                 chunks.append(self._infer(
                     self.variables,
                     jnp.asarray(image[s:e]),
-                    jnp.asarray(pc_dep[s:e]) if pc_dep is not None else None,
+                    _slice_pc(s, e),
                     jnp.asarray(calib[s:e]),
                     jnp.asarray(trans_inv[s:e]),
                 ))
             return jax.tree.map(lambda *xs: jnp.concatenate(xs, axis=0), *chunks)
+        if isinstance(pc_dep, tuple):
+            pc_dep = (jnp.asarray(pc_dep[0]), jnp.asarray(pc_dep[1]))
+        elif pc_dep is not None:
+            pc_dep = jnp.asarray(pc_dep)
         return self._infer(
             self.variables,
             jnp.asarray(image),
-            jnp.asarray(pc_dep) if pc_dep is not None else None,
+            pc_dep,
             jnp.asarray(calib),
             jnp.asarray(trans_inv),
         )
