@@ -281,7 +281,20 @@ def test_detector_preprocess_matches_reference(tag, z_offset):
     want = np.transpose(g[f"{tag}_out_images"], (0, 2, 3, 1))
     np.testing.assert_allclose(ours_norm, want, atol=1e-4)
 
-    np.testing.assert_allclose(batch["pc_dep"],
+    # default serving path ships compact (box, value) rows for the on-chip
+    # paint; composing them with the bit-identical host painter must still
+    # reproduce the reference's rasterized pc_dep
+    if "pc_dep" in batch:
+        pc_dep = batch["pc_dep"]
+    else:
+        from centerfusiondetect3d_tpu.data.radar import paint_rows_host
+
+        pc_dep = np.stack([
+            paint_rows_host(batch["pc_boxes"][i], batch["pc_values"][i],
+                            (oh, ow))
+            for i in range(batch["pc_boxes"].shape[0])
+        ])
+    np.testing.assert_allclose(pc_dep,
                                np.transpose(g[f"{tag}_out_pc_deps"],
                                             (0, 2, 3, 1)),
                                rtol=1e-4, atol=1e-4)
