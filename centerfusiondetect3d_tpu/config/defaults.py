@@ -74,6 +74,8 @@ def default_config() -> ConfigNode:
     c.MODEL.DLA.NODE = "DeformConv"  # DeformConv | GlobalConv | Conv
     # deformable-sampling implementation: auto (shift on TPU, xla elsewhere)
     # | shift (static shifted-window XLA, offsets clamped to ±DCN_MAX_OFFSET)
+    # | select (4-corner select over the same static windows — identical
+    # clamp semantics, ~2x fewer VPU ops, integer DCN_MAX_OFFSET only)
     # | shift_hybrid (shift + exact sparse correction of clamped pixels)
     # | xla (flattened-row gathers, exact, any backend) | pallas (Mosaic
     # kernel - single-kernel programs only on this image, kept for probes).

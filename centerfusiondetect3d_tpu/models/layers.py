@@ -242,11 +242,16 @@ class DeformConvNode(nn.Module):
             import jax
 
             impl = "shift" if jax.default_backend() == "tpu" else "xla"
-        if (impl in ("shift", "shift_hybrid")
+        if (impl in ("shift", "shift_hybrid", "select", "select_hybrid")
                 and self.dcn_deep_impl
                 and in_ch >= self.dcn_deep_min_ch):
-            # clamped fast paths only where trained offsets stay in range
-            impl = self.dcn_deep_impl
+            # clamped fast paths only where trained offsets stay in range;
+            # a select-family shallow impl keeps its base through the deep
+            # override (same hybrid correction, select windows)
+            deep = self.dcn_deep_impl
+            if impl.startswith("select") and deep == "shift_hybrid":
+                deep = "select_hybrid"
+            impl = deep
         if impl == "shift":
             from ..ops.dcn import deform_conv2d_shift
 
@@ -255,7 +260,15 @@ class DeformConvNode(nn.Module):
                 weight.astype(self.dtype), bias.astype(self.dtype),
                 max_offset=self.dcn_max_offset,
             )
-        elif impl == "shift_hybrid":
+        elif impl == "select":
+            from ..ops.dcn import deform_conv2d_select
+
+            x = deform_conv2d_select(
+                x.astype(self.dtype), offset, mask,
+                weight.astype(self.dtype), bias.astype(self.dtype),
+                max_offset=self.dcn_max_offset,
+            )
+        elif impl in ("shift_hybrid", "select_hybrid"):
             from ..ops.dcn import deform_conv2d_shift_hybrid
 
             x = deform_conv2d_shift_hybrid(
@@ -264,6 +277,7 @@ class DeformConvNode(nn.Module):
                 max_offset=self.dcn_max_offset,
                 correct_frac=self.dcn_correct_frac,
                 approx=self.dcn_correct_approx,
+                base="select" if impl == "select_hybrid" else "shift",
             )
         elif impl == "pallas":
             from ..ops.pallas_dcn import deform_conv2d_fast

@@ -149,7 +149,8 @@ def _exact_rows(x, offset, mask, weight, bias, idx):
 def deform_conv2d_shift_hybrid(x, offset, mask, weight, bias=None, *,
                                max_offset: float = 1.0,
                                correct_frac: float = 0.03,
-                               approx: bool = True):
+                               approx: bool = True,
+                               base: str = "shift"):
     """Shift-window DCN with exact sparse correction of clamped pixels.
 
     The shift fast path is exact whenever every offset is within
@@ -165,8 +166,8 @@ def deform_conv2d_shift_hybrid(x, offset, mask, weight, bias=None, *,
     ``approx`` selects ``jax.lax.approx_max_k`` for the candidate selection
     (faster on TPU; recall ~0.95 — missed pixels stay at shift accuracy).
     """
-    base = deform_conv2d_shift(x, offset, mask, weight, bias,
-                               max_offset=max_offset)
+    base_fn = deform_conv2d_select if base == "select" else deform_conv2d_shift
+    base = base_fn(x, offset, mask, weight, bias, max_offset=max_offset)
     b, h, w, c = x.shape
     o = weight.shape[-1]
     n = b * h * w
@@ -186,6 +187,85 @@ def deform_conv2d_shift_hybrid(x, offset, mask, weight, bias=None, *,
 def _hat(v):
     """Bilinear tent: nonzero exactly for the two integers straddling v."""
     return jnp.maximum(0.0, 1.0 - jnp.abs(v))
+
+
+def deform_conv2d_select(x, offset, mask, weight, bias=None, *,
+                         max_offset: float = 1.0):
+    """Modulated 3x3 stride-1 DCNv2 via 4-corner selects — no gathers.
+
+    Same contract, clamp semantics (straight-through ±``max_offset``), and
+    static-slice structure as :func:`deform_conv2d_shift`, but exploits that
+    the bilinear tent is nonzero at exactly the 2x2 integers straddling each
+    sample: instead of summing ``(2R+2)^2`` hat-weighted windows per tap, it
+    resolves the 4 straddling corners with ``(2R+1)``-way predicated
+    ``jnp.where`` chains over the same static windows and combines them with
+    the bilinear weights — ~2x fewer wide VPU ops at every R, and the
+    backward differentiates 4 corner terms instead of every tent product.
+
+    Gradient convention: d/d(offset) is the one-sided floor-bilinear
+    derivative ``(V10-V00)(1-ax) + (V11-V01)ax`` — identical to the tent
+    derivative at non-integer sampling points and matching torch's
+    ``deform_conv2d`` convention AT integer points (where the tent-max
+    formulation tie-splits 0.5). ``max_offset`` must be a positive integer
+    (the select chains are sized ``2R+1``).
+    """
+    b, h, w, c = x.shape
+    kh, kw, _, o = weight.shape
+    assert (kh, kw) == (3, 3), "DLA nodes only use 3x3 DCN"
+    r = int(max_offset)
+    assert r >= 1 and float(r) == float(max_offset), (
+        "deform_conv2d_select needs integer max_offset >= 1")
+    rf = float(r)
+    pad = r + 2  # tap ring (1) + offset reach + bilinear ceil
+    dtype = x.dtype
+    xp = jnp.pad(x, ((0, 0), (pad, pad), (pad, pad), (0, 0)))
+
+    out = None
+    for k in range(9):
+        i, j = divmod(k, 3)
+        ty = _st_clip(offset[..., 2 * k:2 * k + 1], -rf, rf) + (i - 1)
+        tx = _st_clip(offset[..., 2 * k + 1:2 * k + 2], -rf, rf) + (j - 1)
+        fy = jnp.floor(jax.lax.stop_gradient(ty))
+        fx = jnp.floor(jax.lax.stop_gradient(tx))
+        ay = (ty - fy).astype(dtype)
+        ax = (tx - fx).astype(dtype)
+
+        def win(gy, gx):
+            rows = jax.lax.slice_in_dim(xp, pad + gy, pad + gy + h, axis=1)
+            return jax.lax.slice_in_dim(rows, pad + gx, pad + gx + w, axis=2)
+
+        # stage 1: resolve y per static column shift; fy in
+        # [i-1-r, i-1+r] (fy = i-1+r only when ty sits exactly at +r)
+        ylo, yhi = {}, {}
+        for gx in range(j - 1 - r, j + r + 1):
+            v = win(i - 1 - r, gx)
+            v2 = win(i - r, gx)
+            for fyv in range(i - r, i + r):
+                v = jnp.where(fy == float(fyv), win(fyv, gx), v)
+                v2 = jnp.where(fy == float(fyv), win(fyv + 1, gx), v2)
+            ylo[gx], yhi[gx] = v, v2
+
+        # stage 2: resolve x; fx in [j-1-r, j-1+r]
+        def selx(tbl, plus):
+            v = tbl[j - 1 - r + plus]
+            for fxv in range(j - r, j + r):
+                v = jnp.where(fx == float(fxv), tbl[fxv + plus], v)
+            return v
+
+        v00, v01 = selx(ylo, 0), selx(ylo, 1)
+        v10, v11 = selx(yhi, 0), selx(yhi, 1)
+        tap = ((1 - ay) * ((1 - ax) * v00 + ax * v01)
+               + ay * ((1 - ax) * v10 + ax * v11))
+        tap = tap * mask[..., k:k + 1].astype(dtype)
+        term = jax.lax.dot_general(
+            tap, weight[i, j].astype(dtype),
+            dimension_numbers=(((3,), (0,)), ((), ())),
+            preferred_element_type=jnp.promote_types(x.dtype, jnp.float32),
+        )
+        out = term if out is None else out + term
+    if bias is not None:
+        out = out + bias
+    return out.astype(dtype)
 
 
 def _st_clip(v, lo, hi):

@@ -209,28 +209,32 @@ def main():
         print(f"[{name}] br={args.br} rel_err={err:.2e} "
               f"(first call {compile_s:.1f}s)")
         if not args.interp:
-            # timed
-            iters = 20
-            fn(x.astype(jnp.bfloat16), offset, mask,
-               weight.astype(jnp.bfloat16)).block_until_ready()
+            # timed: reduce on device so only a scalar crosses the tunnel
+            # (fetching the (6,112,200,64) output costs ~42 ms/iter and
+            # swamps the op)
+            red = jax.jit(lambda *a: jnp.sum(fn(*a).astype(jnp.float32)))
+            iters = 50
+            np.asarray(red(x.astype(jnp.bfloat16), offset, mask,
+                           weight.astype(jnp.bfloat16)))
             t0 = time.perf_counter()
             for _ in range(iters):
-                r_ = fn(x.astype(jnp.bfloat16), offset, mask,
-                        weight.astype(jnp.bfloat16))
+                r_ = red(x.astype(jnp.bfloat16), offset, mask,
+                         weight.astype(jnp.bfloat16))
             np.asarray(r_)
             dt = (time.perf_counter() - t0) / iters * 1e3
             print(f"[{name}] {dt:.2f} ms/op")
 
     if not args.interp:
-        shift = jax.jit(functools.partial(deform_conv2d_shift, max_offset=1.0))
+        shift = functools.partial(deform_conv2d_shift, max_offset=1.0)
+        red = jax.jit(lambda *a: jnp.sum(shift(*a).astype(jnp.float32)))
         xb = x.astype(jnp.bfloat16)
         wb = weight.astype(jnp.bfloat16)
-        np.asarray(shift(xb, offset, mask, wb))
+        np.asarray(red(xb, offset, mask, wb))
         t0 = time.perf_counter()
-        for _ in range(20):
-            r_ = shift(xb, offset, mask, wb)
+        for _ in range(50):
+            r_ = red(xb, offset, mask, wb)
         np.asarray(r_)
-        print(f"[xla-shift] {(time.perf_counter() - t0) / 20 * 1e3:.2f} ms/op")
+        print(f"[xla-shift] {(time.perf_counter() - t0) / 50 * 1e3:.2f} ms/op")
 
 
 if __name__ == "__main__":

@@ -117,6 +117,85 @@ def test_shift_offset_gradients_nonzero_outside_clamp(case):
     assert float(np.mean(np.abs(interior) > 0)) > 0.99
 
 
+def test_select_matches_shift(case):
+    """4-corner select formulation == shift formulation (identical clamp
+    semantics), for in-range, clamped, and R=2 offset regimes."""
+    from centerfusiondetect3d_tpu.ops.dcn import deform_conv2d_select
+
+    x, off, m, wt, bias = case
+    for r, scale in ((1.0, 1.0), (1.0, 5.0), (2.0, 1.0)):
+        a = np.asarray(
+            deform_conv2d_shift(x, off * scale, m, wt, bias, max_offset=r))
+        b = np.asarray(
+            deform_conv2d_select(x, off * scale, m, wt, bias, max_offset=r))
+        np.testing.assert_allclose(a, b, rtol=2e-5, atol=2e-5,
+                                   err_msg=f"r={r} scale={scale}")
+
+
+def test_select_gradients_match_oracle(case):
+    """Away from integer sampling points the select gradient equals the
+    gather oracle's bilinear gradient (same STE clamp)."""
+    from centerfusiondetect3d_tpu.ops.dcn import _st_clip, deform_conv2d_select
+
+    x, off, m, wt, _ = case
+    off = off * 0.5  # strictly inside ±1: no clamp kinks
+
+    ga = jax.grad(
+        lambda x, o, m, w: jnp.sum(
+            deform_conv2d(x, _st_clip(o, -1.0, 1.0), m, w) ** 2),
+        argnums=(0, 1, 2, 3),
+    )(x, off, m, wt)
+    gb = jax.grad(
+        lambda x, o, m, w: jnp.sum(
+            deform_conv2d_select(x, o, m, w, max_offset=1.0) ** 2),
+        argnums=(0, 1, 2, 3),
+    )(x, off, m, wt)
+    for a, b, name in zip(ga, gb, ("x", "offset", "mask", "weight")):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), rtol=2e-4,
+                                   atol=2e-4, err_msg=name)
+
+
+def test_select_offset_gradients_nonzero_outside_clamp(case):
+    """STE clamp + one-sided floor-bilinear derivative: offsets beyond ±R
+    carry gradient everywhere in the interior (the tent formulation's
+    integer-kink tie-split can cancel; the select form cannot)."""
+    from centerfusiondetect3d_tpu.ops.dcn import deform_conv2d_select
+
+    x, _, m, wt, _ = case
+    rng2 = np.random.RandomState(3)
+    off = jnp.asarray(
+        (rng2.randn(*x.shape[:3], 18) * 0.5 + 4.0).astype(np.float32)
+    )
+    g = jax.grad(
+        lambda o: jnp.sum(deform_conv2d_select(x, o, m, wt,
+                                               max_offset=1.0) ** 2)
+    )(off)
+    interior = np.asarray(g)[:, 3:-3, 3:-3, :]
+    assert float(np.mean(np.abs(interior) > 0)) > 0.99
+
+
+def test_select_requires_integer_r(case):
+    from centerfusiondetect3d_tpu.ops.dcn import deform_conv2d_select
+
+    x, off, m, wt, bias = case
+    with pytest.raises(AssertionError):
+        deform_conv2d_select(x, off, m, wt, bias, max_offset=1.5)
+
+
+@pytest.mark.slow
+def test_node_select_impl_matches_xla(rng):
+    from centerfusiondetect3d_tpu.models.layers import DeformConvNode
+
+    x = jnp.asarray(rng.randn(1, 8, 10, 6).astype(np.float32))
+    out = {}
+    for impl in ("xla", "select"):
+        node = DeformConvNode(features=4, dcn_impl=impl)
+        v = node.init(jax.random.PRNGKey(0), x, train=False)
+        out[impl] = np.asarray(node.apply(v, x, train=False))
+    np.testing.assert_allclose(out["xla"], out["select"], rtol=1e-5,
+                               atol=1e-5)
+
+
 @pytest.mark.slow
 def test_node_shift_impl_matches_xla(rng):
     from centerfusiondetect3d_tpu.models.layers import DeformConvNode
