@@ -43,7 +43,7 @@ class CenterFusionDLA(nn.Module):
     top_k: int = 100
     norm_eval: bool = False  # freeze backbone BN stats during training
     remat: bool = False  # rematerialize the backbone (memory for FLOPs)
-    dcn_impl: str = "auto"  # shift | xla | pallas | auto (shift on TPU)
+    dcn_impl: str = "auto"  # shift|select|*_hybrid|xla|pallas|auto (select on TPU)
     dcn_max_offset: float = 1.0  # shift-impl offset clamp (output px)
     dcn_correct_frac: float = 0.03  # shift_hybrid: exact-corrected pixel frac
     dcn_correct_approx: bool = True  # shift_hybrid selection: approx_max_k

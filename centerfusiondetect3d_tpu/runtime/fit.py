@@ -120,6 +120,22 @@ class Trainer:
         self.logger.info("parameters: %.2fM", n_params / 1e6)
         return self.state
 
+    def _phase_model(self, frozen: bool, backend: str | None = None):
+        """Phase-routed DCN impl under ``DCN_IMPL=auto`` on TPU.
+
+        The 4-corner select formulation wins the forward (eval 146.8 vs
+        135.0 fps; frozen-phase train 59.8 vs 47.2 img/s at bs8 — the
+        backbone backward is pruned there), but the unfrozen backward fuses
+        better through the shift hat-sum (526 vs 546 ms/step, and select's
+        saved residuals OOM bs8 without remat). Explicit DCN_IMPL settings
+        are honored for every phase.
+        """
+        impl = str(self.config.MODEL.DLA.get("DCN_IMPL", "auto"))
+        backend = backend or jax.default_backend()
+        if not frozen and impl == "auto" and backend == "tpu":
+            return self.model.clone(dcn_impl="shift")
+        return self.model
+
     def _step_fn(self, frozen: bool):
         if frozen not in self._train_step:
             # TPU.DONATE: donate the input TrainState's buffers to the step
@@ -128,7 +144,8 @@ class Trainer:
             # because self.state is always reassigned to the step's output.
             donate = (0,) if bool(self.config.TPU.DONATE) else ()
             self._train_step[frozen] = jax.jit(
-                make_train_step(self.model, self.loss_fn, freeze_backbone=frozen),
+                make_train_step(self._phase_model(frozen), self.loss_fn,
+                                freeze_backbone=frozen),
                 donate_argnums=donate,
             )
         return self._train_step[frozen]

@@ -276,6 +276,32 @@ def test_dp_tp_2d_mesh_train_step(tiny_setup, devices8):
     assert np.isfinite(float(metrics["total"]))
 
 
+def test_phase_model_routes_dcn_impl(tmp_path):
+    """DCN_IMPL=auto on TPU: frozen/eval keep select (the faster forward),
+    the unfrozen train step reroutes to shift (the faster backward,
+    measured 526 vs 546 ms/step bs8); explicit impls are never overridden
+    and non-TPU backends are untouched."""
+    from centerfusiondetect3d_tpu.config import load_config
+    from centerfusiondetect3d_tpu.models import build_model
+    from centerfusiondetect3d_tpu.runtime.fit import Trainer
+
+    cfg = load_config(opts=["MODEL.DLA.NODE", "DeformConv"], num_classes=10)
+    trainer = Trainer(cfg, build_model(cfg), output_dir=str(tmp_path))
+    assert trainer.model.dcn_impl == "auto"
+    # simulated TPU backend: unfrozen -> shift, frozen stays auto (the node
+    # resolves auto -> select on TPU at trace time)
+    assert trainer._phase_model(False, backend="tpu").dcn_impl == "shift"
+    assert trainer._phase_model(True, backend="tpu").dcn_impl == "auto"
+    # non-TPU: no rerouting
+    assert trainer._phase_model(False, backend="cpu").dcn_impl == "auto"
+
+    cfg2 = load_config(opts=["MODEL.DLA.NODE", "DeformConv",
+                             "MODEL.DLA.DCN_IMPL", "'select'"],
+                       num_classes=10)
+    t2 = Trainer(cfg2, build_model(cfg2), output_dir=str(tmp_path))
+    assert t2._phase_model(False, backend="tpu").dcn_impl == "select"
+
+
 def test_schedule_cli_trace_and_plot(tmp_path, capsys):
     """The LR-inspector standalone (reference learningRateTest,
     modelWithLoss.py:364-432): trace printed, PNG written, values match
