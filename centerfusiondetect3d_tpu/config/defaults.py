@@ -140,6 +140,12 @@ def default_config() -> ConfigNode:
     c.TRAIN.SCALE_FACTOR = 16
     c.TRAIN.LR_SCHEDULER = "StepLR"  # CLR | StepLR
     c.TRAIN.UNCERTAINTY_LOSS = False
+    # microbatch gradient accumulation: split each TRAIN.BATCH_SIZE batch
+    # into GRAD_ACCUM sequential microbatches under lax.scan and apply ONE
+    # optimizer update with the gradient mean — large effective batches at
+    # microbatch activation memory. DDP-rank semantics (per-microbatch loss
+    # normalization, sequential BN stats); BATCH_SIZE must divide evenly.
+    c.TRAIN.GRAD_ACCUM = 1
 
     c.TEST = ConfigNode()
     c.TEST.BATCH_SIZE = 1

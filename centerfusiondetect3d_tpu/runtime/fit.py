@@ -145,7 +145,9 @@ class Trainer:
             donate = (0,) if bool(self.config.TPU.DONATE) else ()
             self._train_step[frozen] = jax.jit(
                 make_train_step(self._phase_model(frozen), self.loss_fn,
-                                freeze_backbone=frozen),
+                                freeze_backbone=frozen,
+                                accum_steps=int(
+                                    self.config.TRAIN.get("GRAD_ACCUM", 1))),
                 donate_argnums=donate,
             )
         return self._train_step[frozen]

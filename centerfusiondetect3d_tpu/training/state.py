@@ -81,55 +81,96 @@ def mask_backbone_grads(grads):
     }
 
 
-def make_train_step(model, loss_fn, freeze_backbone: bool = False) -> Callable:
+def make_train_step(model, loss_fn, freeze_backbone: bool = False,
+                    accum_steps: int = 1) -> Callable:
     """Build the jittable train step.
 
     Returns step(state, batch, lr) -> (state, metrics). ``lr`` is a traced
     scalar injected into the optimizer, so LR decay never recompiles.
+
+    ``accum_steps > 1`` (TRAIN.GRAD_ACCUM) runs the forward/backward over
+    ``accum_steps`` sequential microbatches under ``lax.scan`` and applies
+    ONE optimizer update with the gradient MEAN — large effective batches at
+    microbatch activation memory. Semantics match the reference's DDP
+    (trainer.py:65-69): each microbatch normalizes its own loss (e.g. the
+    focal loss divides by the microbatch's positive count, exactly like a
+    DDP rank divides by its local count) and the per-microbatch gradients
+    are averaged; BN batch stats update sequentially per microbatch, again
+    like DDP ranks. The full batch is split on the leading axis —
+    TRAIN.BATCH_SIZE must be divisible by GRAD_ACCUM.
     """
 
     def train_step(state: TrainState, batch: Dict[str, Any], lr):
-        def loss_from(params):
+        def loss_from(params, stats, mbatch):
             outputs, updates = model.apply(
-                {"params": params, "batch_stats": state.batch_stats},
-                batch["image"],
-                batch.get("pc_hm"),
-                batch.get("pc_dep"),
-                batch.get("calib"),
+                {"params": params, "batch_stats": stats},
+                mbatch["image"],
+                mbatch.get("pc_hm"),
+                mbatch.get("pc_dep"),
+                mbatch.get("calib"),
                 train=True,
                 mutable=["batch_stats"],
             )
-            total, parts = loss_fn(outputs, batch)
+            total, parts = loss_fn(outputs, mbatch)
             return total, (parts, updates["batch_stats"])
 
-        if freeze_backbone:
-            # differentiate ONLY the live (head) subtrees; the backbone
-            # params enter as non-diff closure constants, so autodiff prunes
-            # the whole backbone backward (no image gradient path exists).
-            # Numerically identical to full-grad + mask_backbone_grads —
-            # head grads depend only on feature VALUES — but ~2x faster at
-            # bs8 448x800: the shift-DCN backward (the dominant training
-            # cost) vanishes for the 85% of flagship epochs that run frozen
-            # (Centerfusion_Middle DEFREEZE=170 of 200; reference freezes by
-            # requires_grad toggling, dla.py:618-621).
-            frozen_sub = {k: v for k, v in state.params.items()
-                          if k in BACKBONE_KEYS}
-            live_sub = {k: v for k, v in state.params.items()
-                        if k not in BACKBONE_KEYS}
+        def one_micro(stats, mbatch):
+            """grads/loss/stats for one microbatch (full batch if accum=1)."""
+            if freeze_backbone:
+                # differentiate ONLY the live (head) subtrees; the backbone
+                # params enter as non-diff closure constants, so autodiff
+                # prunes the whole backbone backward (no image gradient path
+                # exists). Numerically identical to full-grad +
+                # mask_backbone_grads — head grads depend only on feature
+                # VALUES — but ~2x faster at bs8 448x800: the shift-DCN
+                # backward (the dominant training cost) vanishes for the 85%
+                # of flagship epochs that run frozen (Centerfusion_Middle
+                # DEFREEZE=170 of 200; reference freezes by requires_grad
+                # toggling, dla.py:618-621).
+                frozen_sub = {k: v for k, v in state.params.items()
+                              if k in BACKBONE_KEYS}
+                live_sub = {k: v for k, v in state.params.items()
+                            if k not in BACKBONE_KEYS}
 
-            def compute_loss(live):
-                return loss_from({**frozen_sub, **live})
+                def compute_loss(live):
+                    return loss_from({**frozen_sub, **live}, stats, mbatch)
 
-            (total, (parts, new_stats)), live_grads = jax.value_and_grad(
-                compute_loss, has_aux=True
-            )(live_sub)
-            grads = {
-                **jax.tree.map(jnp.zeros_like, frozen_sub), **live_grads
-            }
+                (total, (parts, new_stats)), live_grads = jax.value_and_grad(
+                    compute_loss, has_aux=True
+                )(live_sub)
+                grads = {
+                    **jax.tree.map(jnp.zeros_like, frozen_sub), **live_grads
+                }
+            else:
+                (total, (parts, new_stats)), grads = jax.value_and_grad(
+                    lambda p: loss_from(p, stats, mbatch), has_aux=True
+                )(state.params)
+            return new_stats, grads, total, parts
+
+        if accum_steps > 1:
+            b = batch["image"].shape[0]
+            if b % accum_steps:
+                raise ValueError(
+                    f"TRAIN.GRAD_ACCUM={accum_steps} must divide the batch "
+                    f"size {b}")
+            stacked = jax.tree.map(
+                lambda x: x.reshape((accum_steps, x.shape[0] // accum_steps)
+                                    + x.shape[1:]),
+                batch,
+            )
+
+            def body(stats, mbatch):
+                new_stats, grads, total, parts = one_micro(stats, mbatch)
+                return new_stats, (grads, total, parts)
+
+            new_stats, (g_st, t_st, p_st) = jax.lax.scan(
+                body, state.batch_stats, stacked)
+            grads = jax.tree.map(lambda g: jnp.mean(g, axis=0), g_st)
+            total = jnp.mean(t_st)
+            parts = jax.tree.map(lambda p: jnp.mean(p, axis=0), p_st)
         else:
-            (total, (parts, new_stats)), grads = jax.value_and_grad(
-                loss_from, has_aux=True
-            )(state.params)
+            new_stats, grads, total, parts = one_micro(
+                state.batch_stats, batch)
 
         # inject the LR into the optimizer hyperparams
         opt_state = state.opt_state

@@ -195,6 +195,87 @@ def test_frozen_step_matches_masked_full_grad(tiny_setup):
                                    atol=1e-6, rtol=1e-6)
 
 
+@pytest.mark.slow
+def test_grad_accum_matches_sequential_microbatches(tiny_setup):
+    """An accum_steps=2 step must equal: per-microbatch grads (each with the
+    sequentially-updated BN stats), MEAN-averaged, applied as ONE optimizer
+    update — the DDP-rank semantics the docstring promises."""
+    cfg, model, loss_fn, batch, variables = tiny_setup
+    # SGD, not Adam: the SGD update is LINEAR in the gradient, so the fp
+    # reassociation noise between the scanned and direct microbatch
+    # forwards stays ~1e-6 relative; Adam's g/(sqrt(v)+eps) flips the whole
+    # first-step update wherever a gradient element sits near zero
+    cfg = cfg.clone()
+    cfg.defrost()
+    cfg.TRAIN.OPTIMIZER = "sgd"
+    cfg.freeze()
+    state = create_train_state(cfg, model, variables)
+    lr = 1e-3
+
+    def micro(params, stats, mb):
+        def lf(p):
+            outputs, upd = model.apply(
+                {"params": p, "batch_stats": stats},
+                mb["image"], mb.get("pc_hm"), mb.get("pc_dep"),
+                mb.get("calib"), train=True, mutable=["batch_stats"],
+            )
+            total, _ = loss_fn(outputs, mb)
+            return total, upd["batch_stats"]
+
+        (_, new_stats), grads = jax.value_and_grad(lf, has_aux=True)(params)
+        return new_stats, grads
+
+    def reference_step(state, batch, lr):
+        mb1 = jax.tree.map(lambda x: x[:1], batch)
+        mb2 = jax.tree.map(lambda x: x[1:], batch)
+        stats1, g1 = micro(state.params, state.batch_stats, mb1)
+        stats2, g2 = micro(state.params, stats1, mb2)
+        gmean = jax.tree.map(lambda a, b_: (a + b_) / 2.0, g1, g2)
+        opt_state = state.opt_state
+        opt_state.hyperparams["learning_rate"] = jnp.asarray(lr, jnp.float32)
+        state = state.replace(opt_state=opt_state)
+        return state.apply_gradients(gmean).replace(batch_stats=stats2)
+
+    accum = jax.jit(make_train_step(model, loss_fn, accum_steps=2))
+    got, metrics = accum(state, batch, lr)
+    want = jax.jit(reference_step)(state, batch, lr)
+    assert np.isfinite(float(metrics["total"]))
+    # small tolerance: the scanned microbatch forward fuses differently
+    # from the direct one (f32 reassociation); the SGD update is linear in
+    # the gradient so the noise is not amplified
+    for a, b_ in zip(jax.tree.leaves(got.params), jax.tree.leaves(want.params)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b_),
+                                   atol=1e-7, rtol=2e-5)
+    for a, b_ in zip(jax.tree.leaves(got.batch_stats),
+                     jax.tree.leaves(want.batch_stats)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b_),
+                                   atol=1e-7, rtol=2e-5)
+
+
+@pytest.mark.slow
+def test_grad_accum_freeze_backbone(tiny_setup):
+    cfg, model, loss_fn, batch, variables = tiny_setup
+    state = create_train_state(cfg, model, variables)
+    step = jax.jit(make_train_step(model, loss_fn, freeze_backbone=True,
+                                   accum_steps=2))
+    state1, metrics = step(state, batch, 1e-3)
+    assert np.isfinite(float(metrics["total"]))
+    for a, b_ in zip(jax.tree.leaves(state.params["base"]),
+                     jax.tree.leaves(state1.params["base"])):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b_))
+    h0 = jax.tree.leaves(state.params["detect_head_0"])[0]
+    h1 = jax.tree.leaves(state1.params["detect_head_0"])[0]
+    assert not np.allclose(np.asarray(h0), np.asarray(h1))
+
+
+def test_grad_accum_rejects_indivisible_batch(tiny_setup):
+    cfg, model, loss_fn, batch, variables = tiny_setup
+    state = create_train_state(cfg, model, variables)
+    step = jax.jit(make_train_step(model, loss_fn, accum_steps=3))
+    with pytest.raises(ValueError, match="GRAD_ACCUM"):
+        step(state, batch, 1e-3)  # b=2 not divisible by 3
+
+
 def test_eval_step_decodes(tiny_setup):
     from centerfusiondetect3d_tpu.ops import fusion_decode
 
