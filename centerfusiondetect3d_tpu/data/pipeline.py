@@ -130,13 +130,30 @@ class Loader:
         n_batches = len(self)
         base = (self.seed + self.epoch) * 1_000_003
 
+        def chunk_items(pool, b):
+            chunk = indices[b * self.batch_size : (b + 1) * self.batch_size]
+            build = lambda i: self._build(int(i), base + int(i))
+            # per-item seeds are index-derived, so thread completion order
+            # cannot change the batch contents (pool.map preserves order)
+            items = list(pool.map(build, chunk)) if pool else [
+                build(i) for i in chunk
+            ]
+            return stack_items(items)
+
         def batches():
-            for b in range(n_batches):
-                chunk = indices[b * self.batch_size : (b + 1) * self.batch_size]
-                items = [
-                    self._build(int(i), base + int(i)) for i in chunk
-                ]
-                yield stack_items(items)
+            if self.num_threads > 1:
+                from concurrent.futures import ThreadPoolExecutor
+
+                # item building is cv2/numpy-heavy (decode, warp, target
+                # scatter — all GIL-releasing), so WORKERS threads parallelize
+                # it on multi-core hosts, the reference's DataLoader-workers
+                # arrangement (main.py:98-122) without process boundaries
+                with ThreadPoolExecutor(max_workers=self.num_threads) as pool:
+                    for b in range(n_batches):
+                        yield chunk_items(pool, b)
+            else:
+                for b in range(n_batches):
+                    yield chunk_items(None, b)
 
         if self.prefetch > 0:
             yield from _prefetch_iter(batches(), self.prefetch)

@@ -62,8 +62,20 @@ def sample_augment_params(rng: np.random.RandomState, center, scale, width, heig
 
 
 def flip_annotations(anns, width: int, heads, radar_pc: bool, vel_trans_mat=None):
-    """Mirror annotations for a horizontal flip (generic_dataset.py:374-412)."""
+    """Mirror annotations for a horizontal flip (generic_dataset.py:374-412).
+
+    Returns NEW ann dicts (with fresh lists/arrays for the mirrored fields):
+    the input anns come straight from the shared CocoReader tables, and this
+    loader lives in ONE persistent process — an in-place mirror (what the
+    reference does, flipAnnotations generic_dataset.py:387-410) would
+    permanently toggle the shared annotations, so every later epoch that
+    does NOT flip this sample would pair the original image with mirrored
+    targets. The reference is shielded only by its DataLoader worker
+    processes being re-forked each epoch, which discards the mutations.
+    """
+    out = []
     for ann in anns:
+        ann = dict(ann)  # shallow copy; mutated fields get fresh objects
         bbox = ann["bbox"]
         ann["bbox"] = [width - bbox[0] - 1 - bbox[2], bbox[1], bbox[2], bbox[3]]
         if "rotation" in heads and "alpha" in ann:
@@ -71,12 +83,16 @@ def flip_annotations(anns, width: int, heads, radar_pc: bool, vel_trans_mat=None
                 np.pi - ann["alpha"] if ann["alpha"] > 0 else -np.pi - ann["alpha"]
             )
         if "amodal_offset" in heads and "amodal_center" in ann:
-            ann["amodal_center"][0] = width - ann["amodal_center"][0] - 1
+            ac = ann["amodal_center"]
+            ann["amodal_center"] = [width - ac[0] - 1, *ac[1:]]
         if radar_pc and "velocity" in ann and vel_trans_mat is not None:
-            ann["velocity"][0] *= -1
-            vel = np.array([*ann["velocity"][:3], 0], np.float32)
+            vel3 = np.asarray(ann["velocity"], np.float32).copy()
+            vel3[0] *= -1
+            ann["velocity"] = vel3
+            vel = np.array([*vel3[:3], 0], np.float32)
             ann["velocity_cam"] = np.dot(np.linalg.inv(vel_trans_mat), vel)
-    return anns
+        out.append(ann)
+    return out
 
 
 def color_augment(rng: np.random.RandomState, img: np.ndarray) -> np.ndarray:

@@ -24,7 +24,8 @@ cfg = load_config(opts=["MODEL.INPUT_SIZE", "(448, 800)",
 model = build_model(cfg)
 loss_fn = GenericLoss(cfg)
 rng = np.random.RandomState(0)
-b, m = 8, 128
+b, m = int(cfg.TRAIN.BATCH_SIZE), 128
+ACCUM = int(cfg.TRAIN.get("GRAD_ACCUM", 1))
 h, w = cfg.MODEL.INPUT_SIZE
 oh, ow = cfg.MODEL.OUTPUT_SIZE
 batch = {
@@ -62,12 +63,14 @@ state = create_train_state(cfg, model, variables)
 
 for label, kw in [("full", {}), ("frozen", {"freeze_backbone": True})]:
     try:
-        step = jax.jit(make_train_step(model, loss_fn, **kw), donate_argnums=(0,))
+        step = jax.jit(make_train_step(model, loss_fn, accum_steps=ACCUM,
+                                       **kw), donate_argnums=(0,))
     except TypeError:
         if label == "frozen":
             print("frozen: make_train_step has no freeze_backbone kw; skipping")
             continue
-        step = jax.jit(make_train_step(model, loss_fn), donate_argnums=(0,))
+        step = jax.jit(make_train_step(model, loss_fn, accum_steps=ACCUM),
+                       donate_argnums=(0,))
     s = state
     t0 = time.perf_counter()
     s, metrics = step(s, batch, 1e-4)

@@ -155,6 +155,53 @@ def test_loader_shuffle_reproducible(cfg):
     np.testing.assert_array_equal(b1["image"], b2["image"])
 
 
+def test_flip_does_not_mutate_shared_annotations(cfg):
+    """Item building must be PURE: the reference mirrors the shared coco ann
+    dicts in place (flipAnnotations, generic_dataset.py:387-410) and is
+    shielded only by its worker processes re-forking each epoch; this
+    persistent-process loader must leave the tables untouched so epoch N+1
+    never pairs an unflipped image with mirrored targets."""
+    import copy
+
+    ds = NuScenesDataset(cfg, "train")
+    before = copy.deepcopy(ds.coco.anns)
+    # FLIP prob is 0.5: 20 seeded builds make >=1 flip overwhelmingly likely
+    for seed in range(20):
+        for i in range(len(ds)):
+            ds.get_item(i, np.random.RandomState(seed))
+    after = ds.coco.anns
+    assert before.keys() == after.keys()
+    for k in before:
+        for field in before[k]:
+            np.testing.assert_array_equal(
+                np.asarray(before[k][field], dtype=object)
+                if isinstance(before[k][field], (list, tuple))
+                else before[k][field],
+                np.asarray(after[k][field], dtype=object)
+                if isinstance(after[k][field], (list, tuple))
+                else after[k][field],
+                err_msg=f"ann {k} field {field!r} mutated by item building",
+            )
+
+
+def test_loader_threaded_build_deterministic(cfg):
+    """WORKERS>1 parallelizes item building; per-item index-derived seeds
+    keep every batch bit-identical to the serial loader."""
+    ds = NuScenesDataset(cfg, "train")
+    serial = list(Loader(ds, batch_size=2, shuffle=True, seed=7, prefetch=0,
+                         num_threads=1, augment=True))
+    threaded = list(Loader(ds, batch_size=2, shuffle=True, seed=7, prefetch=0,
+                           num_threads=3, augment=True))
+    assert len(serial) == len(threaded) and len(serial) > 0
+    for bs, bt in zip(serial, threaded):
+        for k in bs:
+            if isinstance(bs[k], dict):
+                for kk in bs[k]:
+                    np.testing.assert_array_equal(bs[k][kk], bt[k][kk])
+            else:
+                np.testing.assert_array_equal(bs[k], bt[k])
+
+
 @pytest.mark.slow
 def test_end_to_end_loss_on_real_items(cfg):
     """Items from the synthetic dataset feed the model+loss without NaNs."""
