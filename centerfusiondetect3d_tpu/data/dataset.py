@@ -81,7 +81,10 @@ class GenericDataset:
         cfg = self.config
         img_id = self.images[index]
         img_info = self.coco.load_imgs(img_id)[0]
-        anns = [dict(a) for a in self.coco.load_anns(self.coco.get_ann_ids(img_id))]
+        # shared CocoReader table rows: read-only here. The one mutating
+        # transform (flip_annotations) owns copy-on-write and returns fresh
+        # dicts; everything else must not write into these.
+        anns = self.coco.load_anns(self.coco.get_ann_ids(img_id))
         img = self.load_image(img_info)
 
         center = np.array(

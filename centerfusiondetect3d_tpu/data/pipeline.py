@@ -163,29 +163,57 @@ class Loader:
 
 
 def _prefetch_iter(it, depth: int):
-    """Run the producer in a background thread with a bounded queue."""
+    """Run the producer in a background thread with a bounded queue.
+
+    Abandoning the consumer (``next(iter(loader))`` then dropping the
+    iterator) must not leak the producer: the worker's puts poll a stop
+    event, and the consumer's ``finally`` (run on GeneratorExit when the
+    abandoned generator is collected) sets it. The worker then closes the
+    underlying generator, which unwinds ``batches()``'s ``with
+    ThreadPoolExecutor`` and releases its worker threads — without this, a
+    blocked ``q.put`` would pin the pool's non-daemon threads for the rest
+    of the process, one pool per abandoned epoch.
+    """
     q: queue.Queue = queue.Queue(maxsize=depth)
     _END = object()
     err = []
+    stop = threading.Event()
+
+    def safe_put(x) -> bool:
+        while not stop.is_set():
+            try:
+                q.put(x, timeout=0.2)
+                return True
+            except queue.Full:
+                continue
+        return False
 
     def worker():
         try:
-            for x in it:
-                q.put(x)
+            try:
+                for x in it:
+                    if not safe_put(x):
+                        break
+            finally:
+                # unwind batches()'s ThreadPoolExecutor context
+                if hasattr(it, "close"):
+                    it.close()
         except BaseException as e:  # propagate into the consumer
             err.append(e)
-        finally:
-            q.put(_END)
+        safe_put(_END)
 
     t = threading.Thread(target=worker, daemon=True)
     t.start()
-    while True:
-        x = q.get()
-        if x is _END:
-            break
-        yield x
-    if err:
-        raise err[0]
+    try:
+        while True:
+            x = q.get()
+            if x is _END:
+                break
+            yield x
+        if err:
+            raise err[0]
+    finally:
+        stop.set()
 
 
 def device_prefetch(batch_iter, mesh=None, size: int = 2):

@@ -64,14 +64,16 @@ def sample_augment_params(rng: np.random.RandomState, center, scale, width, heig
 def flip_annotations(anns, width: int, heads, radar_pc: bool, vel_trans_mat=None):
     """Mirror annotations for a horizontal flip (generic_dataset.py:374-412).
 
-    Returns NEW ann dicts (with fresh lists/arrays for the mirrored fields):
-    the input anns come straight from the shared CocoReader tables, and this
-    loader lives in ONE persistent process — an in-place mirror (what the
-    reference does, flipAnnotations generic_dataset.py:387-410) would
-    permanently toggle the shared annotations, so every later epoch that
-    does NOT flip this sample would pair the original image with mirrored
-    targets. The reference is shielded only by its DataLoader worker
-    processes being re-forked each epoch, which discards the mutations.
+    Returns NEW ann dicts (with fresh lists/arrays for the mirrored fields);
+    the inputs are never written to. This transform OWNS copy-on-write
+    purity: the input anns come straight from the shared CocoReader tables
+    (get_item passes them uncopied), and this loader lives in ONE persistent
+    process — an in-place mirror (what the reference does, flipAnnotations
+    generic_dataset.py:387-410) would permanently toggle the shared
+    annotations, so every later epoch that does NOT flip this sample would
+    pair the original image with mirrored targets. The reference is shielded
+    only by its DataLoader worker processes being re-forked each epoch,
+    which discards the mutations.
     """
     out = []
     for ann in anns:

@@ -69,8 +69,8 @@ for label, kw in [("full", {}), ("frozen", {"freeze_backbone": True})]:
         if label == "frozen":
             print("frozen: make_train_step has no freeze_backbone kw; skipping")
             continue
-        step = jax.jit(make_train_step(model, loss_fn, accum_steps=ACCUM),
-                       donate_argnums=(0,))
+        # signature drift (no accum_steps kw): fall back to the bare form
+        step = jax.jit(make_train_step(model, loss_fn), donate_argnums=(0,))
     s = state
     t0 = time.perf_counter()
     s, metrics = step(s, batch, 1e-4)

@@ -384,3 +384,41 @@ def test_loader_peek_matches_first_batch():
     assert ldr.epoch == 0  # peek does not advance the epoch
     first = next(iter(ldr))
     np.testing.assert_array_equal(peeked["idx"], first["idx"])
+
+
+def test_loader_abandoned_iterator_releases_threads():
+    """Dropping a live prefetching iterator must release the producer AND
+    the ThreadPoolExecutor workers: the producer's puts poll a stop event
+    set by the consumer's GeneratorExit, and the producer closes batches()
+    on exit so the pool context unwinds (round-3 review finding)."""
+    import gc
+    import threading
+    import time
+
+    from centerfusiondetect3d_tpu.data.pipeline import Loader
+
+    class DS:
+        def __len__(self):
+            return 64
+
+        def get_item(self, i, rng=None):
+            return {"idx": np.array([i], np.int64)}
+
+    def pool_threads():
+        return [t for t in threading.enumerate()
+                if t.name.startswith("ThreadPoolExecutor")]
+
+    before = len(pool_threads())
+    loader = Loader(DS(), batch_size=2, shuffle=False, prefetch=2,
+                    num_threads=2, drop_keys=())
+    it = iter(loader)
+    next(it)
+    del it
+    gc.collect()
+    deadline = time.monotonic() + 10.0
+    while time.monotonic() < deadline:
+        if len(pool_threads()) <= before:
+            break
+        time.sleep(0.05)
+    assert len(pool_threads()) <= before, (
+        f"leaked executor threads: {pool_threads()}")
