@@ -16,7 +16,9 @@ from centerfusiondetect3d_tpu.config import load_config
 from centerfusiondetect3d_tpu.models import build_model
 from centerfusiondetect3d_tpu.ops import fusion_decode
 
-BATCH, WARMUP, ITERS = 6, 3, 12
+import os
+BATCH = int(os.environ.get("BENCH_BATCH", "6"))
+WARMUP, ITERS = 3, 12
 cfg = load_config(
     opts=["MODEL.INPUT_SIZE", "(448, 800)",
           "MODEL.DLA.NODE", "DeformConv"] + sys.argv[1:],
