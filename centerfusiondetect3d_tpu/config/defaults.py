@@ -146,6 +146,12 @@ def default_config() -> ConfigNode:
     # microbatch activation memory. DDP-rank semantics (per-microbatch loss
     # normalization, sequential BN stats); BATCH_SIZE must divide evenly.
     c.TRAIN.GRAD_ACCUM = 1
+    # abort training after this many CONSECUTIVE non-finite total losses
+    # (tolerance semantics of the reference's guarded logger,
+    # logger.py:463-485); the last interval checkpoint stays the
+    # recovery point — the diverged state is deliberately NOT saved.
+    # 0 disables the guard.
+    c.TRAIN.NONFINITE_TOLERANCE = 5
 
     c.TEST = ConfigNode()
     c.TEST.BATCH_SIZE = 1

@@ -37,6 +37,7 @@ from ..utils.observability import (
     AverageMeter,
     DeviceHealthMonitor,
     StageTimer,
+    ToleranceCounter,
     estimate_cost,
     plot_history,
 )
@@ -66,6 +67,8 @@ class Trainer:
         self.state: Optional[TrainState] = None
         self._train_step = {}
         self._eval_step = None
+        tol = int(config.TRAIN.get("NONFINITE_TOLERANCE", 5))
+        self._nonfinite = ToleranceCounter(tol) if tol > 0 else None
 
     # ------------------------------------------------------------- state
     def init_state(self, sample_batch):
@@ -194,8 +197,9 @@ class Trainer:
             batches = device_prefetch(loader, self.mesh, size=cfg.TPU.PREFETCH)
             profiling = bool(cfg.TPU.PROFILE) and epoch == self.start_epoch
             if profiling:
-                import jax.profiler
-
+                # NOTE: must NOT be a local `import jax.profiler` — that
+                # binds the name `jax` function-locally and every earlier
+                # `jax.*` use in train() raises UnboundLocalError
                 jax.profiler.start_trace(os.path.join(self.output_dir, "profile"))
             n_batches = len(loader)
             log_every = max(1, n_batches // 10)
@@ -205,6 +209,7 @@ class Trainer:
                 timer.stop("step", metrics["total"])
                 for k, v in metrics.items():
                     meters[k].update(float(v))
+                self._guard_nonfinite(float(metrics["total"]), epoch, i)
                 self.health.check()
                 if (i + 1) % log_every == 0 or i + 1 == n_batches:
                     # per-batch progress line (ProgressBar analogue,
@@ -237,6 +242,31 @@ class Trainer:
                 self.val()
         plot_history(self.history, self.output_dir)
         return self.state
+
+    def _guard_nonfinite(self, total: float, epoch: int, step: int):
+        """Abort after N consecutive non-finite losses (divergence guard).
+
+        Tolerance semantics of the reference's guarded logger
+        (logger.py:463-485) applied to the loss itself — the nearest
+        TPU-side analogue of watching a run melt down in the wandb
+        dashboard. The diverged TrainState is deliberately NOT
+        checkpointed: the last interval/crash-guard save remains the
+        recovery point (a NaN state would poison a resume).
+        """
+        if self._nonfinite is None:
+            return
+        if np.isfinite(total):
+            self._nonfinite.ok()
+            return
+        self.logger.warning(
+            "non-finite total loss (%s) at epoch %d step %d", total, epoch, step
+        )
+        if self._nonfinite.fail():
+            raise RuntimeError(
+                f"total loss non-finite for {self._nonfinite.tolerance} "
+                "consecutive steps - training diverged; resume from the "
+                "last saved checkpoint with a lower LR"
+            )
 
     # ------------------------------------------------------------- eval
     def _build_eval_step(self):

@@ -101,3 +101,34 @@ def test_trainer_val_scores_against_raw_tables(eval_root):
     assert os.path.exists(summary_path)
     metrics = json.load(open(summary_path))
     assert "nd_score" in metrics and 0.0 <= metrics["nd_score"] <= 1.0
+
+
+@pytest.mark.slow
+def test_trainer_train_loop_runs(eval_root):
+    """Trainer.train() itself must be driven by the suite: a local
+    `import jax.profiler` inside train() once shadowed the module-level
+    `jax` (UnboundLocalError on the first `jax.*` use) and no test
+    noticed because only val()/the step fns were exercised."""
+    from centerfusiondetect3d_tpu.config import load_config
+    from centerfusiondetect3d_tpu.data import NuScenesDataset
+    from centerfusiondetect3d_tpu.models import build_model
+    from centerfusiondetect3d_tpu.runtime.fit import Trainer
+
+    cfg = load_config(
+        opts=["DATASET.ROOT", repr(eval_root + "/"), "MODEL.INPUT_SIZE", "(96, 160)",
+              "MODEL.DLA.NODE", "Conv", "MODEL.K", "8",
+              "DATASET.RADAR_PC", "False", "MIXED_PRECISION", "False",
+              "WORKERS", "1", "TRAIN.BATCH_SIZE", "1", "TRAIN.EPOCHS", "2",
+              "TRAIN.WARM_EPOCHS", "0", "TRAIN.VAL_INTERVALS", "0",
+              "TRAIN.SAVE_INTERVALS", "1000", "TRAIN.LR", "1e-4"],
+        num_classes=10,
+    )
+    ds = NuScenesDataset(cfg, "mini_val")
+    out_dir = os.path.join(eval_root, "train_out")
+    trainer = Trainer(cfg, build_model(cfg), ds, None, out_dir)
+    state = trainer.train()
+    assert state is not None
+    assert len(trainer.history["train"]["total"]) == 2
+    assert np.isfinite(trainer.history["train"]["total"][-1])
+    # final-epoch checkpoint written (epoch+1 == EPOCHS forces a save)
+    assert os.path.isdir(os.path.join(out_dir, "ckpts"))

@@ -383,6 +383,29 @@ def test_phase_model_routes_dcn_impl(tmp_path):
     assert t2._phase_model(False, backend="tpu").dcn_impl == "select"
 
 
+def test_nonfinite_loss_guard(tmp_path):
+    """Divergence guard (SURVEY §5.3): N consecutive non-finite total
+    losses abort training with tolerance semantics (reference
+    logger.py:463-485); any finite loss resets the counter; tolerance 0
+    disables the guard entirely."""
+    from centerfusiondetect3d_tpu.runtime.fit import Trainer
+
+    cfg = load_config(opts=["TRAIN.NONFINITE_TOLERANCE", "3"], num_classes=10)
+    trainer = Trainer(cfg, build_model(cfg), output_dir=str(tmp_path))
+    trainer._guard_nonfinite(float("nan"), 0, 0)
+    trainer._guard_nonfinite(float("inf"), 0, 1)
+    trainer._guard_nonfinite(1.25, 0, 2)  # finite resets the streak
+    trainer._guard_nonfinite(float("nan"), 0, 3)
+    trainer._guard_nonfinite(float("nan"), 0, 4)
+    with pytest.raises(RuntimeError, match="non-finite for 3 consecutive"):
+        trainer._guard_nonfinite(float("-inf"), 0, 5)
+
+    cfg0 = load_config(opts=["TRAIN.NONFINITE_TOLERANCE", "0"], num_classes=10)
+    t0 = Trainer(cfg0, build_model(cfg0), output_dir=str(tmp_path))
+    for s in range(20):  # disabled: never trips
+        t0._guard_nonfinite(float("nan"), 0, s)
+
+
 def test_schedule_cli_trace_and_plot(tmp_path, capsys):
     """The LR-inspector standalone (reference learningRateTest,
     modelWithLoss.py:364-432): trace printed, PNG written, values match
