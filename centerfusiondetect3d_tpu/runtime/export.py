@@ -1,106 +1,134 @@
-"""Model export for production serving: StableHLO serialization.
+"""Serialized serving artifacts via ``jax.export`` (StableHLO).
 
-The reference has no deployment path beyond torch checkpoints; for a
-TPU-serving framework the portable artifact is the compiled program itself.
-``export_inference`` lowers the fused forward+decode(+postprocess-ready)
-function through jax.export to a versioned StableHLO blob that any PJRT
-runtime (or a later jax version) can reload and call without the Python
-model definition; ``load_inference`` rehydrates it as a callable.
+The reference deploys by shipping the Python model zoo plus a torch
+checkpoint (`/root/reference/src/lib/detector.py:21-42` rebuilds the model
+from config at load time). The TPU-native deployment unit is instead the
+*compiled program*: ``export_serving`` captures the Detector's entire
+serving computation — on-device normalization, model forward, fusionDecode,
+postProcess (`runtime/detector.py:_forward`) — with the weights baked in as
+constants, and serializes it to a single versioned StableHLO artifact.
+A serving fleet rehydrates it with ``load_serving`` and calls it without
+the model code, the config system, or the checkpoint reader; XLA recompiles
+the portable StableHLO for whatever attached topology it finds.
+
+Inputs of the exported function (all static-shaped, batch dim fixed at
+export time):
+  image     (B, H, W, 3)  uint8 raw pixels (normalization is in-program)
+  pc_dep    (B, oh, ow, 3) float32 rasterized radar depth map (dense host
+            raster; serving hosts that use TEST.DEVICE_RASTERIZE can paint
+            with ops/rasterize.py and still feed the dense map here)
+  calib     (B, 3, 4)     float32 camera intrinsics
+  trans_inv (B, 2, 3)     float32 inverse output->image affines
+Returns the postProcess dict of fixed-size (B, K, ...) detection tensors.
 """
 
 from __future__ import annotations
 
-import os
-import pickle
-from typing import Tuple
+import argparse
+from typing import Callable, Optional, Sequence
 
+import jax
+import jax.numpy as jnp
 import numpy as np
 
-
-def _spec_args(config, batch_size: int):
-    import jax
-
-    h, w = config.MODEL.INPUT_SIZE
-    oh, ow = config.MODEL.OUTPUT_SIZE
-    image = jax.ShapeDtypeStruct((batch_size, h, w, 3), np.float32)
-    # one-hot radar maps carry 3*MAX_PC_DIST channels (data/radar.py
-    # empty_depth_map), not 3
-    ch = (3 * int(config.DATASET.MAX_PC_DIST)
-          if config.DATASET.ONE_HOT_PC else 3)
-    pc_dep = (
-        jax.ShapeDtypeStruct((batch_size, oh, ow, ch), np.float32)
-        if config.DATASET.RADAR_PC
-        else None
-    )
-    calib = jax.ShapeDtypeStruct((batch_size, 3, 4), np.float32)
-    trans = jax.ShapeDtypeStruct((2, 3), np.float32)
-    return image, pc_dep, calib, trans
+from ..config import ConfigNode
 
 
-def export_inference(config, variables, path: str, batch_size: int = 1) -> str:
-    """Serialize the fused inference program (forward+decode+postprocess).
+def make_serving_fn(config: ConfigNode, variables) -> Callable:
+    """The Detector's one-program serving computation with ``variables``
+    closed over (exported as constants -> self-contained artifact)."""
+    from .detector import Detector
 
-    Weights are baked in as constants; the artifact directory holds the
-    StableHLO blob plus a small manifest.
+    det = Detector(config, variables=variables)
+
+    def serve(image, pc_dep, calib, trans_inv):
+        processed, _extras = det._forward(
+            det.variables, image, pc_dep, calib, trans_inv
+        )
+        return processed
+
+    return serve
+
+
+def export_serving(
+    config: ConfigNode,
+    variables,
+    batch_size: int = 1,
+    platforms: Optional[Sequence[str]] = None,
+) -> bytes:
+    """Serialize the serving program to portable StableHLO bytes.
+
+    ``platforms``: lowering targets (e.g. ``["tpu", "cpu"]``); default is
+    the current backend only. Cross-platform lowering is validated at
+    deserialize/call time by jax.export's calling convention checks.
     """
-    import jax
-    from jax import export as jexport
+    ih, iw = config.MODEL.INPUT_SIZE
+    oh, ow = config.MODEL.OUTPUT_SIZE
+    b = int(batch_size)
+    args = (
+        jax.ShapeDtypeStruct((b, ih, iw, 3), jnp.uint8),
+        jax.ShapeDtypeStruct((b, oh, ow, 3), jnp.float32),
+        jax.ShapeDtypeStruct((b, 3, 4), jnp.float32),
+        jax.ShapeDtypeStruct((b, 2, 3), jnp.float32),
+    )
+    fn = jax.jit(make_serving_fn(config, variables))
+    exported = jax.export.export(
+        fn, platforms=list(platforms) if platforms else None
+    )(*args)
+    return exported.serialize()
 
-    from ..models import build_model
-    from ..ops import fusion_decode, post_process
 
-    model = build_model(config)
+def load_serving(data: bytes) -> Callable:
+    """Rehydrate an exported serving artifact into a callable.
 
+    The returned callable takes (image, pc_dep, calib, trans_inv) at the
+    exported shapes/dtypes and returns the postProcess detection dict; wrap
+    it in ``jax.jit`` for repeated calls (jax.export's ``.call`` traces
+    into any enclosing jit, so the program compiles once)."""
+    exported = jax.export.deserialize(bytearray(data))
+    return exported.call
+
+
+def main(argv=None):
+    p = argparse.ArgumentParser(description=__doc__.splitlines()[0])
+    p.add_argument("--cfg", required=True, help="config yaml")
+    p.add_argument("--load", default="", help="orbax dir or reference .pt")
+    p.add_argument("--out", required=True, help="output artifact path")
+    p.add_argument("--batch-size", type=int, default=1)
+    p.add_argument("--platforms", default="",
+                   help="comma list, e.g. tpu,cpu (default: current backend)")
+    p.add_argument("opts", nargs="*", help="dotted config overrides")
+    args = p.parse_args(argv)
+
+    from ..config import default_config, finalize_config, update_config
     from ..data.dataset import NuScenesDataset
+    from .detector import Detector
 
-    mean = np.asarray(NuScenesDataset.mean, np.float32)
-    std = np.asarray(NuScenesDataset.std, np.float32)
+    config = default_config()
+    update_config(config, args.cfg, args.opts)
+    config = finalize_config(config, NuScenesDataset.num_categories,
+                             NuScenesDataset.default_resolution)
 
-    def infer(image, pc_dep, calib, trans_inv):
-        # same input contract as the serving Detector (_forward): raw
-        # [0, 255] pixels, /255 + mean/std normalization baked into the
-        # program so PJRT consumers can't silently skip it
-        image = (image / 255.0 - mean) / std
-        outputs = model.apply(variables, image, None, pc_dep, calib, train=False)
-        dets = fusion_decode(
-            outputs, config.MODEL.OUTPUT_SIZE, k=config.MODEL.K,
-            norm2d=config.MODEL.NORM_2D,
+    variables = None
+    if args.load:
+        det = Detector(config)
+        from ..training import load_weights
+
+        pp, ss, _meta = load_weights(
+            args.load, det.variables["params"], det.variables["batch_stats"],
+            dict(config.head_conv),
         )
-        return post_process(dets, trans_inv, config.MODEL.OUTPUT_SIZE, calib)
+        variables = {"params": pp, "batch_stats": ss}
+    else:
+        variables = Detector(config).variables
 
-    image, pc_dep, calib, trans = _spec_args(config, batch_size)
-    args = (image, pc_dep, calib, trans)
-    exported = jexport.export(jax.jit(infer))(*args)
-    blob = exported.serialize()
-
-    os.makedirs(path, exist_ok=True)
-    with open(os.path.join(path, "inference.stablehlo"), "wb") as f:
-        f.write(blob)
-    with open(os.path.join(path, "manifest.pkl"), "wb") as f:
-        pickle.dump(
-            {
-                "batch_size": batch_size,
-                "input_size": tuple(config.MODEL.INPUT_SIZE),
-                "output_size": tuple(config.MODEL.OUTPUT_SIZE),
-                "radar_pc": bool(config.DATASET.RADAR_PC),
-                "k": int(config.MODEL.K),
-                # input contract: raw [0,255] pixels; normalization is baked
-                # into the program with these constants
-                "input_pixels": "raw_0_255",
-                "mean": mean.tolist(),
-                "std": std.tolist(),
-            },
-            f,
-        )
-    return path
+    platforms = [s for s in args.platforms.split(",") if s] or None
+    data = export_serving(config, variables, args.batch_size, platforms)
+    with open(args.out, "wb") as f:
+        f.write(data)
+    print(f"wrote {args.out}: {len(data) / 2**20:.1f} MiB "
+          f"(batch {args.batch_size}, platforms {platforms or 'default'})")
 
 
-def load_inference(path: str) -> Tuple[callable, dict]:
-    """Rehydrate an exported program as a callable (runs on any jax backend)."""
-    from jax import export as jexport
-
-    with open(os.path.join(path, "inference.stablehlo"), "rb") as f:
-        exported = jexport.deserialize(f.read())
-    with open(os.path.join(path, "manifest.pkl"), "rb") as f:
-        manifest = pickle.load(f)
-    return exported.call, manifest
+if __name__ == "__main__":
+    main()
