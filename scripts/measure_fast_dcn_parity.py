@@ -1,0 +1,95 @@
+"""Measure per-head deltas of the fast DCN compositions vs the wide-offset
+torch goldens (VERDICT r3 next #2). Prints a markdown table for PARITY.md
+and the tolerances asserted by tests/test_golden_parity.py's fast-default
+test.
+
+Run: PYTHONPATH=/root/.axon_site:. python scripts/measure_fast_dcn_parity.py
+"""
+import os
+import sys
+
+os.environ.setdefault(
+    "XLA_FLAGS", "--xla_force_host_platform_device_count=1")
+import jax
+
+jax.config.update("jax_platforms", "cpu")
+
+import json
+
+import numpy as np
+import jax.numpy as jnp
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+from centerfusiondetect3d_tpu.config import load_config
+from centerfusiondetect3d_tpu.models import build_model
+from centerfusiondetect3d_tpu.training.checkpoint import import_torch_checkpoint
+from centerfusiondetect3d_tpu.utils.cache import enable_compilation_cache
+
+enable_compilation_cache()
+
+FIXTURES = os.path.join(os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+                        "tests", "fixtures")
+
+
+def _nhwc(x):
+    return jnp.asarray(np.transpose(x, (0, 2, 3, 1)))
+
+
+def run(fixture, frustum, sd_fixture, impl):
+    g = np.load(os.path.join(FIXTURES, fixture))
+    head_conv = json.loads(bytes(g["meta_head_conv"]).decode())
+    cfg = load_config(
+        opts=["MODEL.INPUT_SIZE", "(64, 128)", "MODEL.DLA.NODE", "DeformConv",
+              "DATASET.RADAR_PC", "True", "MODEL.FRUSTUM", str(frustum),
+              "MODEL.FUSION_STRATEGY", "'middle'",
+              "MODEL.DLA.DCN_IMPL", repr(impl),
+              "MIXED_PRECISION", "False"],
+        num_classes=10,
+    )
+    sd_src = g if sd_fixture is None else np.load(
+        os.path.join(FIXTURES, sd_fixture))
+    img, pc_dep = _nhwc(g["in_img"]), _nhwc(g["in_pc_dep"])
+    calib = jnp.asarray(g["in_calib"])
+    model = build_model(cfg)
+    variables = jax.jit(model.init, static_argnames=("train",))(
+        jax.random.PRNGKey(0), img, None, pc_dep, calib, train=False)
+    sd = {k[3:]: sd_src[k] for k in sd_src.files if k.startswith("sd_")}
+    params, stats, _ = import_torch_checkpoint(
+        sd, variables["params"], variables["batch_stats"],
+        head_conv=cfg.head_conv)
+    y = model.apply({"params": params, "batch_stats": stats},
+                    img, None, pc_dep, calib, train=False)[-1]
+    rows = {}
+    for key in g.files:
+        if not key.startswith("out_") or key == "out_calib":
+            continue
+        name = key[4:]
+        want = np.transpose(g[key], (0, 2, 3, 1))
+        got = np.asarray(y[name])
+        d = got - want
+        rms_w = float(np.sqrt(np.mean(want.astype(np.float64) ** 2)))
+        rows[name] = {
+            "rel_rms": float(np.sqrt(np.mean(d.astype(np.float64) ** 2)))
+                       / max(rms_w, 1e-12),
+            "max_abs": float(np.max(np.abs(d))),
+            "rms_want": rms_w,
+        }
+    return rows
+
+
+if __name__ == "__main__":
+    cases = [
+        ("model_forward_dcn_wide.npz", False, None),
+        ("model_forward_dcn_wide_frustum.npz", True,
+         "model_forward_dcn_wide.npz"),
+    ]
+    for impl in ("select", "shift"):
+        for fixture, frustum, sd_fixture in cases:
+            rows = run(fixture, frustum, sd_fixture, impl)
+            print(f"\n### {impl} (+ deep {impl}_hybrid) vs {fixture}")
+            print("| head | rel RMS | max abs | golden RMS |")
+            print("|---|---|---|---|")
+            for name in sorted(rows):
+                r = rows[name]
+                print(f"| {name} | {r['rel_rms']:.3e} | {r['max_abs']:.3e} "
+                      f"| {r['rms_want']:.3e} |")

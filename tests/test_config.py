@@ -62,3 +62,23 @@ def test_hashable_snapshot():
     c = load_config(num_classes=10)
     h = c.hashable()
     assert hash(h) == hash(load_config(num_classes=10).hashable())
+
+
+def test_shipped_yamls_load_and_parity_pins_exact_semantics():
+    """Every shipped config parses; the parity-eval config pins the fast
+    TPU defaults OFF (exact DCN + exact top-k: strict reference semantics
+    for NDS validation runs)."""
+    import glob
+    import os
+
+    yamls = sorted(glob.glob(os.path.join("configs", "*.yaml")))
+    assert len(yamls) >= 4, yamls
+    for y in yamls:
+        cfg = load_config(y, num_classes=10)
+        assert cfg.NAME
+
+    parity = load_config("configs/Centerfusion_parity.yaml", num_classes=10)
+    assert parity.MODEL.APPROX_TOPK is False
+    assert parity.MODEL.DLA.DCN_IMPL == "xla"
+    assert parity.MODEL.DLA.DCN_DEEP_IMPL == ""
+    assert parity.EVAL is True and parity.TEST.FLIP_TEST is True

@@ -324,3 +324,72 @@ def test_full_model_matches_reference(fixture, node, fusion, frustum,
                                    err_msg=name)
         compared += 1
     assert compared >= (12 if fusion == "middle" else 9), compared
+
+
+@pytest.mark.slow
+@pytest.mark.parametrize("impl", ["select", "shift"])
+@pytest.mark.parametrize("fixture,frustum,sd_fixture", [
+    ("model_forward_dcn_wide.npz", False, None),
+    ("model_forward_dcn_wide_frustum.npz", True, "model_forward_dcn_wide.npz"),
+])
+def test_fast_dcn_defaults_match_wide_goldens(impl, fixture, frustum,
+                                              sd_fixture):
+    """The SHIPPED fast DCN compositions (select R=1 + select_hybrid deep —
+    what DCN_IMPL='auto' resolves to on TPU — and shift + shift_hybrid)
+    against the wide-offset torch goldens (VERDICT r3 next #2).
+
+    Measured per-head deltas (scripts/measure_fast_dcn_parity.py, table in
+    PARITY.md): max abs <= 3e-6 on every head for both compositions. Caveat
+    recorded there: these goldens carry wide OFFSETS (rms 1.3-1.8 px, max
+    4.1 — verified at runtime) but random-init features are spatially
+    near-flat (std 1e-4..1e-2 at the DCN inputs), so the R=1 clamp barely
+    moves head outputs; clamp *semantics* under loud features are pinned at
+    op level by tests/test_dcn_shift.py's oracle/gradient suites. This
+    test's job is regression detection for the default composition on the
+    full model: layout, hybrid correction plumbing, deep-node routing.
+    Asserted at 30x the measured delta."""
+    import json
+
+    import jax
+
+    from centerfusiondetect3d_tpu.config import load_config
+    from centerfusiondetect3d_tpu.models import build_model
+    from centerfusiondetect3d_tpu.training.checkpoint import (
+        import_torch_checkpoint,
+    )
+
+    g = _load(fixture)
+    head_conv = json.loads(bytes(g["meta_head_conv"]).decode())
+    cfg = load_config(
+        opts=["MODEL.INPUT_SIZE", "(64, 128)", "MODEL.DLA.NODE", "DeformConv",
+              "DATASET.RADAR_PC", "True", "MODEL.FRUSTUM", str(frustum),
+              "MODEL.FUSION_STRATEGY", "'middle'",
+              "MODEL.DLA.DCN_IMPL", repr(impl),
+              "MIXED_PRECISION", "False"],
+        num_classes=10,
+    )
+    sd_src = g if sd_fixture is None else _load(sd_fixture)
+    img = _nhwc(g["in_img"])
+    pc_dep = _nhwc(g["in_pc_dep"])
+    calib = jnp.asarray(g["in_calib"])
+    model = build_model(cfg)
+    variables = jax.jit(model.init, static_argnames=("train",))(
+        jax.random.PRNGKey(0), img, None, pc_dep, calib, train=False
+    )
+    sd = {k[3:]: sd_src[k] for k in sd_src.files if k.startswith("sd_")}
+    params, stats, report = import_torch_checkpoint(
+        sd, variables["params"], variables["batch_stats"],
+        head_conv=cfg.head_conv,
+    )
+    assert not report["missing"] and not report["shape_mismatch"]
+    y = model.apply({"params": params, "batch_stats": stats},
+                    img, None, pc_dep, calib, train=False)[-1]
+    for key in g.files:
+        if not key.startswith("out_") or key == "out_calib":
+            continue
+        name = key[4:]
+        want = np.transpose(g[key], (0, 2, 3, 1))
+        np.testing.assert_allclose(
+            np.asarray(y[name]), want, rtol=2e-3, atol=1e-4,
+            err_msg=f"{impl} fast path diverged from golden at head {name}",
+        )
