@@ -16,151 +16,27 @@ import pickle
 import numpy as np
 import pytest
 
-# one car per sample, camera frame (x right, y down, z forward); identity
-# sensor/ego transforms make radar-sensor == camera == global frames.
-CAR_XYZ = (2.0, 0.5, 10.0)
-CAR_WLH = (1.9, 4.5, 1.6)
-N_SAMPLES = 3
-
-PCD_FIELDS = (
-    "x y z dyn_prop id rcs vx vy vx_comp vy_comp is_quality_valid "
-    "ambig_state x_rms y_rms invalid_state pdh0 vx_rms vy_rms"
+# table content constants re-exported from the in-package generator (the
+# tests below assert against the car/radar geometry it writes)
+from centerfusiondetect3d_tpu.data.synthetic import (  # noqa: E402
+    CAR_XYZ,
+    CAR_WLH,
+    radar_point,
+    write_radar_pcd,
 )
 
-
-def write_radar_pcd(path, points):
-    """nuScenes-style 18-field radar PCD (ascii). points: (N, 18)."""
-    points = np.asarray(points, np.float32)
-    n = len(points)
-    header = "\n".join(
-        [
-            "# .PCD v0.7 - Point Cloud Data file format",
-            "VERSION 0.7",
-            f"FIELDS {PCD_FIELDS}",
-            "SIZE " + " ".join(["4"] * 18),
-            "TYPE " + " ".join(["F"] * 18),
-            "COUNT " + " ".join(["1"] * 18),
-            f"WIDTH {n}",
-            "HEIGHT 1",
-            "VIEWPOINT 0 0 0 1 0 0 0",
-            f"POINTS {n}",
-            "DATA ascii",
-        ]
-    )
-    rows = "\n".join(" ".join(f"{v:.6f}" for v in row) for row in points)
-    with open(path, "wb") as f:
-        f.write((header + "\n" + rows + "\n").encode())
-
-
-def radar_point(x, y, z, vx_comp=4.0, vy_comp=0.5):
-    row = np.zeros(18, np.float32)
-    row[:3] = (x, y, z)
-    row[8], row[9] = vx_comp, vy_comp
-    return row
+N_SAMPLES = 3
 
 
 @pytest.fixture(scope="module")
 def flagship_root(tmp_path_factory):
-    """Synthetic raw nuScenes: 3 samples, camera + radar sweeps + lidar."""
-    import cv2
-
-    from centerfusiondetect3d_tpu.data.convert_nuscenes import (
-        export_split,
-        scene_splits,
-    )
+    """Synthetic raw nuScenes: 3 samples, camera + radar sweeps + lidar
+    (written by the shipped generator, data/synthetic.py)."""
+    from centerfusiondetect3d_tpu.data.convert_nuscenes import export_split
+    from centerfusiondetect3d_tpu.data.synthetic import make_synthetic_nuscenes
 
     root = tmp_path_factory.mktemp("e2e_flagship")
-    version = root / "v1.0-mini"
-    version.mkdir()
-    scene_name = scene_splits()["mini_val"][0]
-
-    def w(name, obj):
-        (version / f"{name}.json").write_text(json.dumps(obj))
-
-    w("scene", [{"token": "sc0", "name": scene_name, "description": "rain"}])
-    samples = []
-    for i in range(N_SAMPLES):
-        samples.append(
-            {
-                "token": f"sa{i}",
-                "scene_token": "sc0",
-                "timestamp": 1_000_000 + 500_000 * i,
-                "prev": f"sa{i - 1}" if i else "",
-                "next": f"sa{i + 1}" if i < N_SAMPLES - 1 else "",
-            }
-        )
-    w("sample", samples)
-    w("sensor", [
-        {"token": "se_cam", "channel": "CAM_FRONT", "modality": "camera"},
-        {"token": "se_rad", "channel": "RADAR_FRONT", "modality": "radar"},
-        {"token": "se_lid", "channel": "LIDAR_TOP", "modality": "lidar"},
-    ])
-    w("calibrated_sensor", [
-        {"token": "cs_cam", "sensor_token": "se_cam", "translation": [0, 0, 0],
-         "rotation": [1, 0, 0, 0],
-         "camera_intrinsic": [[400.0, 0, 200.0], [0, 400.0, 150.0], [0, 0, 1]]},
-        {"token": "cs_rad", "sensor_token": "se_rad", "translation": [0, 0, 0],
-         "rotation": [1, 0, 0, 0], "camera_intrinsic": []},
-        {"token": "cs_lid", "sensor_token": "se_lid", "translation": [0, 0, 0],
-         "rotation": [1, 0, 0, 0], "camera_intrinsic": []},
-    ])
-    w("ego_pose", [{"token": "ep0", "translation": [0, 0, 0],
-                    "rotation": [1, 0, 0, 0]}])
-
-    sample_data, annotations = [], []
-    for i in range(N_SAMPLES):
-        sample_data += [
-            {"token": f"sd_cam{i}", "sample_token": f"sa{i}",
-             "ego_pose_token": "ep0", "calibrated_sensor_token": "cs_cam",
-             "is_key_frame": True,
-             "filename": f"samples/CAM_FRONT/img{i}.jpg",
-             "width": 400, "height": 300, "prev": "", "next": ""},
-            {"token": f"sd_rad{i}", "sample_token": f"sa{i}",
-             "ego_pose_token": "ep0", "calibrated_sensor_token": "cs_rad",
-             "is_key_frame": True,
-             "filename": f"samples/RADAR_FRONT/r{i}.pcd",
-             "width": 0, "height": 0, "prev": "", "next": ""},
-            {"token": f"sd_lid{i}", "sample_token": f"sa{i}",
-             "ego_pose_token": "ep0", "calibrated_sensor_token": "cs_lid",
-             "is_key_frame": True,
-             "filename": f"samples/LIDAR_TOP/l{i}.pcd.bin",
-             "width": 0, "height": 0, "prev": "", "next": ""},
-        ]
-        annotations.append(
-            {"token": f"an{i}", "sample_token": f"sa{i}",
-             "instance_token": "in0", "translation": list(CAR_XYZ),
-             "size": list(CAR_WLH), "rotation": [1, 0, 0, 0],
-             "attribute_tokens": ["at_mv"], "prev": "", "next": "",
-             "visibility_token": "4", "num_lidar_pts": 12,
-             "num_radar_pts": 3},
-        )
-    w("sample_data", sample_data)
-    w("sample_annotation", annotations)
-    w("category", [{"token": "cat_car", "name": "vehicle.car"}])
-    w("instance", [{"token": "in0", "category_token": "cat_car"}])
-    w("attribute", [{"token": "at_mv", "name": "vehicle.moving"}])
-
-    cam_dir = root / "samples" / "CAM_FRONT"
-    rad_dir = root / "samples" / "RADAR_FRONT"
-    lid_dir = root / "samples" / "LIDAR_TOP"
-    for d in (cam_dir, rad_dir, lid_dir):
-        d.mkdir(parents=True)
-    rng = np.random.RandomState(3)
-    for i in range(N_SAMPLES):
-        img = (rng.rand(300, 400, 3) * 40).astype(np.uint8)
-        cv2.imwrite(str(cam_dir / f"img{i}.jpg"), img)
-        # a radar return on the car plus one clutter point; min-distance
-        # filter needs |(x, y)| >= 1 in the radar frame
-        write_radar_pcd(
-            rad_dir / f"r{i}.pcd",
-            [radar_point(*CAR_XYZ), radar_point(-3.0, 0.2, 22.0, 0.0, 0.0)],
-        )
-        lidar = np.zeros((8, 5), np.float32)
-        lidar[:, 0] = CAR_XYZ[0] + rng.randn(8) * 0.3
-        lidar[:, 1] = CAR_XYZ[1]
-        lidar[:, 2] = CAR_XYZ[2] + rng.randn(8) * 0.5
-        lidar.tofile(str(lid_dir / f"l{i}.pcd.bin"))
-
+    make_synthetic_nuscenes(str(root), {"mini_val": N_SAMPLES})
     export_split(str(root), "mini_val", verbose=False)
     os.symlink(root, root / "nuscenes")
     return str(root)
