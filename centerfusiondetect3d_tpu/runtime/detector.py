@@ -651,14 +651,25 @@ class Detector:
                 # pack at dispatch time and start the device->host copy NOW
                 # so it streams while later batches compute; the fetch thread
                 # then blocks on an already-moving (or local) buffer
+                tp = _time.perf_counter()
                 packed, rest = _pack_detections(processed)
                 _start_host_copy(packed[0] if packed is not None else rest)
                 inflight.append(fetchers.submit(
                     self._finalize_stream, packed, rest, extras, metas))
+                self._acc_stage("pack", _time.perf_counter() - tp)
                 if len(inflight) >= depth:
-                    yield inflight.pop(0).result()
+                    # consumer-side stall on the oldest in-flight fetch; with
+                    # get_wait/dispatch/pack this makes the consumer-thread
+                    # wall fully attributable (bench reconciles them)
+                    tr = _time.perf_counter()
+                    res = inflight.pop(0).result()
+                    self._acc_stage("result_wait", _time.perf_counter() - tr)
+                    yield res
             for fut in inflight:
-                yield fut.result()
+                tr = _time.perf_counter()
+                res = fut.result()
+                self._acc_stage("result_wait", _time.perf_counter() - tr)
+                yield res
             if err:
                 raise err[0]
         finally:

@@ -17,9 +17,27 @@ from centerfusiondetect3d_tpu.models import build_model
 from centerfusiondetect3d_tpu.losses import GenericLoss
 from centerfusiondetect3d_tpu.training import create_train_state, make_train_step
 
+# --flags k=v,k=v -> per-step jit compiler_options (XLA flag probes);
+# remaining argv words are dotted config overrides as before
+_opts, COMPILER_OPTIONS = [], {}
+_argv = sys.argv[1:]
+while _argv:
+    if _argv[0] == "--flags":
+        for kv in _argv[1].split(","):
+            k, _, v = kv.partition("=")
+            COMPILER_OPTIONS[k] = v if v else "true"
+        _argv = _argv[2:]
+    elif _argv[0] == "--skip-frozen":
+        COMPILER_OPTIONS.setdefault("__skip_frozen__", "1")
+        _argv = _argv[1:]
+    else:
+        _opts.append(_argv[0])
+        _argv = _argv[1:]
+SKIP_FROZEN = COMPILER_OPTIONS.pop("__skip_frozen__", None) is not None
+
 cfg = load_config(opts=["MODEL.INPUT_SIZE", "(448, 800)",
                         "MODEL.DLA.NODE", "DeformConv",
-                        "TRAIN.BATCH_SIZE", "8"] + sys.argv[1:],
+                        "TRAIN.BATCH_SIZE", "8"] + _opts,
                   num_classes=10)
 model = build_model(cfg)
 loss_fn = GenericLoss(cfg)
@@ -61,16 +79,22 @@ variables = jax.jit(model.init, static_argnames=("train",))(
     batch["calib"], train=True)
 state = create_train_state(cfg, model, variables)
 
-for label, kw in [("full", {}), ("frozen", {"freeze_backbone": True})]:
+_phases = [("full", {})] if SKIP_FROZEN else [
+    ("full", {}), ("frozen", {"freeze_backbone": True})]
+_jit_kw = {"donate_argnums": (0,)}
+if COMPILER_OPTIONS:
+    _jit_kw["compiler_options"] = COMPILER_OPTIONS
+    print("compiler_options:", COMPILER_OPTIONS, flush=True)
+for label, kw in _phases:
     try:
         step = jax.jit(make_train_step(model, loss_fn, accum_steps=ACCUM,
-                                       **kw), donate_argnums=(0,))
+                                       **kw), **_jit_kw)
     except TypeError:
         if label == "frozen":
             print("frozen: make_train_step has no freeze_backbone kw; skipping")
             continue
         # signature drift (no accum_steps kw): fall back to the bare form
-        step = jax.jit(make_train_step(model, loss_fn), donate_argnums=(0,))
+        step = jax.jit(make_train_step(model, loss_fn), **_jit_kw)
     s = state
     t0 = time.perf_counter()
     s, metrics = step(s, batch, 1e-4)
