@@ -79,11 +79,11 @@ def rehearse(args) -> int:
     root = args.dataroot
     synthetic = root is None
     if synthetic:
-        from .data.synthetic import make_synthetic_nuscenes
+        from .data.synthetic import make_synthetic_raw_tables
 
         root = os.path.join(out_dir, "synthetic_nuscenes")
         if not os.path.exists(os.path.join(root, "v1.0-mini")):
-            make_synthetic_nuscenes(root, {train_split: 4, val_split: 3})
+            make_synthetic_raw_tables(root, {train_split: 4, val_split: 3})
             print(f"[rehearse] wrote synthetic raw tables -> {root}")
 
     # the dataset reads DATASET.ROOT + "nuscenes/annotations/...": accept a

@@ -33,10 +33,10 @@ def flagship_root(tmp_path_factory):
     """Synthetic raw nuScenes: 3 samples, camera + radar sweeps + lidar
     (written by the shipped generator, data/synthetic.py)."""
     from centerfusiondetect3d_tpu.data.convert_nuscenes import export_split
-    from centerfusiondetect3d_tpu.data.synthetic import make_synthetic_nuscenes
+    from centerfusiondetect3d_tpu.data.synthetic import make_synthetic_raw_tables
 
     root = tmp_path_factory.mktemp("e2e_flagship")
-    make_synthetic_nuscenes(str(root), {"mini_val": N_SAMPLES})
+    make_synthetic_raw_tables(str(root), {"mini_val": N_SAMPLES})
     export_split(str(root), "mini_val", verbose=False)
     os.symlink(root, root / "nuscenes")
     return str(root)
