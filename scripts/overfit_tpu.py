@@ -58,21 +58,54 @@ def main():
         jax.random.PRNGKey(0), batch["image"], batch["pc_hm"],
         batch["pc_dep"], batch["calib"], train=True)
     state = create_train_state(cfg, model, variables)
-    step = jax.jit(make_train_step(model, loss_fn), donate_argnums=(0,))
+
+    # two-phase run ACROSS the defreeze boundary (VERDICT r3 next #7):
+    # frozen backbone first (Trainer routes DCN_IMPL=auto to select there),
+    # then the full backward with the shift-routed model — the exact impl
+    # swap + recompile Trainer._phase_model performs at MODEL.DEFREEZE
+    # (reference semantics: modelWithLoss.py:275-297). The boundary must
+    # show loss CONTINUITY (the select/shift forwards agree wherever
+    # offsets are in clamp range) and continued descent after it.
+    DEFREEZE = 150
+    frozen_model = model  # auto -> select on TPU (layers.py:241-249)
+    unfrozen_model = (model.clone(dcn_impl="shift")
+                      if jax.default_backend() == "tpu" else model)
+    step_frozen = jax.jit(make_train_step(frozen_model, loss_fn,
+                                          freeze_backbone=True),
+                          donate_argnums=(0,))
+    step_full = jax.jit(make_train_step(unfrozen_model, loss_fn),
+                        donate_argnums=(0,))
 
     t0 = time.perf_counter()
     first = None
+    pre_boundary, post_boundary = [], []
     for i in range(400):
+        step = step_frozen if i < DEFREEZE else step_full
         state, metrics = step(state, batch, 2e-4 if i < 300 else 5e-5)
-        if i % 50 == 0 or i == 399:
+        if DEFREEZE - 5 <= i < DEFREEZE:
+            pre_boundary.append(float(metrics["total"]))
+        elif DEFREEZE <= i < DEFREEZE + 5:
+            post_boundary.append(float(metrics["total"]))
+        if i % 50 == 0 or i == 399 or i == DEFREEZE:
             tot = float(metrics["total"])
             if first is None:
                 first = tot
+            tag = " <- DEFREEZE boundary" if i == DEFREEZE else ""
             print(f"step {i:4d}: loss {tot:8.3f} "
-                  f"({time.perf_counter() - t0:6.1f}s)", flush=True)
+                  f"({time.perf_counter() - t0:6.1f}s){tag}", flush=True)
     last = float(metrics["total"])
     print(f"loss {first:.2f} -> {last:.2f} ({first / max(last, 1e-9):.1f}x)")
     assert last < first / 5, (first, last)
+
+    pre, post = np.mean(pre_boundary), np.mean(post_boundary)
+    jump = abs(post - pre) / max(abs(pre), 1e-9)
+    print(f"defreeze boundary: pre {pre:.3f} post {post:.3f} "
+          f"(|jump| {100 * jump:.1f}%)")
+    # continuity: the impl swap + optimizer regime change may move the loss
+    # a little (clamped offsets, fresh backbone grads) but must not step
+    assert jump < 0.25, (pre, post)
+    # continued descent after the boundary
+    assert last < post, (last, post)
 
     outs = model.apply(
         {"params": state.params, "batch_stats": state.batch_stats},
