@@ -84,7 +84,7 @@ def default_config() -> ConfigNode:
     c.MODEL.DLA.DCN_IMPL = "auto"
     # shift-impl offset clamp in output-stride pixels. R=1 runs ~2x faster
     # than the exact gather path at every DLA node shape (cost scales as
-    # (2R+2)^2); raise to 2.0 (gather-parity speed) or set DCN_IMPL=xla for
+    # (2ceil(R)+1)^2); raise to 2.0 (gather-parity speed) or set DCN_IMPL=xla for
     # exact torchvision semantics, e.g. when importing reference checkpoints
     # whose trained offsets exceed +-1.
     c.MODEL.DLA.DCN_MAX_OFFSET = 1.0

@@ -201,7 +201,7 @@ def deform_conv2d_select(x, offset, mask, weight, bias=None, *,
     Same contract, clamp semantics (straight-through ±``max_offset``), and
     static-slice structure as :func:`deform_conv2d_shift`, but exploits that
     the bilinear tent is nonzero at exactly the 2x2 integers straddling each
-    sample: instead of summing ``(2R+2)^2`` hat-weighted windows per tap, it
+    sample: instead of summing ``(2R+1)^2`` hat-weighted windows per tap, it
     resolves the 4 straddling corners with ``(2R+1)``-way predicated
     ``jnp.where`` chains over the same static windows and combines them with
     the bilinear weights — ~2x fewer wide VPU ops at every R, and the
@@ -314,8 +314,8 @@ def deform_conv2d_shift(x, offset, mask, weight, bias=None, *,
     Offsets are clamped to ``±max_offset`` output-stride pixels (the
     reference's torchvision op does not clamp — semantics are exact whenever
     every offset is in range; trained DLA node offsets are small). Cost
-    scales as ``9 * (2R+2)^2`` fused multiply-adds over (B, H, W, C), so
-    keep R small (R=2 -> 324 terms). Fully differentiable (plain jnp ops;
+    scales as ``9 * (2ceil(R)+1)^2`` fused multiply-adds over (B, H, W, C),
+    so keep R small (R=1 -> 81 terms, R=2 -> 225). Fully differentiable (plain jnp ops;
     the clamp is straight-through, so offset gradients stay nonzero even
     outside ±R), chains safely under jit on any backend. Same torchvision layouts as ``deform_conv2d``
     (reference dla.py:461-472).
@@ -329,7 +329,19 @@ def deform_conv2d_shift(x, offset, mask, weight, bias=None, *,
     # integer shifts straddling clamped positions t in [i-1-r, i-1+r]:
     # lo = i-1-ceil(r), hi = i-1+floor(r)+1; fractional r shrinks the
     # window (r=0.5 -> 3x3=9 terms/tap vs 4x4=16 at r=1)
-    r_lo, r_hi = math.ceil(r), math.floor(r) + 1
+    # integer shifts straddling clamped positions t in [i-1-r, i-1+r]:
+    # lo = i-1-ceil(r), hi = i-1+ceil(r). The upper straddle of the extreme
+    # t = i-1+r is ceil(i-1+r) = i-1+ceil(r) for EVERY r — at integer r the
+    # boundary t lands exactly on that corner with bilinear weight 1 and
+    # the next corner's weight identically 0, so the previous floor(r)+1
+    # bound carried a whole zero-weight row+column per tap (R=1: 16 terms
+    # where 9 suffice — measured 524.4 -> 343 ms/step bs8 unfrozen on the
+    # v5e, bit-identical forward). Gradient note: at exactly-clamped
+    # offsets the dropped zero-weight term used to add jax's 0.5 tie-split
+    # through the tent kink; without it the boundary offset gradient is the
+    # one-sided floor-bilinear convention — the one deform_conv2d_select
+    # documents and torch uses at integer sampling points.
+    r_lo = r_hi = math.ceil(r)
     pad = r_lo + 2  # tap ring (1) + offset reach + bilinear ceil
     dtype = x.dtype
     xp = jnp.pad(x, ((0, 0), (pad, pad), (pad, pad), (0, 0)))
