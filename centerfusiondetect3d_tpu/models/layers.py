@@ -241,11 +241,12 @@ class DeformConvNode(nn.Module):
         if impl == "auto":
             import jax
 
-            # select beats shift on TPU wherever the backward doesn't
-            # dominate (eval 146.8 vs 135.0 fps; frozen train 59.8 vs 47.2
-            # img/s at bs8 — measured on the v5e); the unfrozen train step
-            # is routed back to shift by Trainer._step_fn (its 144-term
-            # hat-sum autodiff fuses better: 526 vs 546 ms/step)
+            # select edges out shift for the EVAL forward on TPU (168.3 vs
+            # 162.9 fps, measured v5e same host after the tight-window
+            # shift fix); both TRAIN phases are routed to shift by
+            # Trainer._phase_model (unfrozen 340.4 ms/step vs select's
+            # 547.3 at bs8 — select's residuals also OOM without remat —
+            # and frozen 116.7 vs 135.7)
             impl = "select" if jax.default_backend() == "tpu" else "xla"
         if (impl in ("shift", "shift_hybrid", "select", "select_hybrid")
                 and self.dcn_deep_impl

@@ -246,7 +246,13 @@ def deform_conv2d_select(x, offset, mask, weight, bias=None, *,
             return jax.lax.slice_in_dim(rows, pad + gx, pad + gx + w, axis=2)
 
         # stage 1: resolve y per static column shift; fy in
-        # [i-1-r, i-1+r] (fy = i-1+r only when ty sits exactly at +r)
+        # [i-1-r, i-1+r] (fy = i-1+r only when ty sits exactly at +r).
+        # NOTE the +1 corner windows at the clamp boundary have zero
+        # bilinear WEIGHT but a nonzero one-sided DERIVATIVE — they are what
+        # keeps d/d(offset) = V_right - V_left at exactly-clamped points,
+        # the STE escape path. Capping them in-range (the shift-style tight
+        # window) zeroes that gradient and breaks
+        # test_select_offset_gradients_nonzero_outside_clamp — do not.
         ylo, yhi = {}, {}
         for gx in range(j - 1 - r, j + r + 1):
             v = win(i - 1 - r, gx)

@@ -126,16 +126,17 @@ class Trainer:
     def _phase_model(self, frozen: bool, backend: str | None = None):
         """Phase-routed DCN impl under ``DCN_IMPL=auto`` on TPU.
 
-        The 4-corner select formulation wins the forward (eval 146.8 vs
-        135.0 fps; frozen-phase train 59.8 vs 47.2 img/s at bs8 — the
-        backbone backward is pruned there), but the unfrozen backward fuses
-        better through the shift hat-sum (526 vs 546 ms/step, and select's
-        saved residuals OOM bs8 without remat). Explicit DCN_IMPL settings
-        are honored for every phase.
+        Since the tight-window fix (ops/dcn.py: 9 shift terms per tap at
+        R=1 instead of 16, identical forward) the shift hat-sum wins BOTH
+        train phases on the v5e at bs8 448x800: unfrozen 340.4 ms/step vs
+        select's 547.3 (select's saved residuals also OOM bs8 without
+        remat), frozen 116.7 ms vs 135.7. Eval stays on select via the
+        ``auto`` default in layers.py (168.3 vs 162.9 fps measured same
+        host/day). Explicit DCN_IMPL settings are honored for every phase.
         """
         impl = str(self.config.MODEL.DLA.get("DCN_IMPL", "auto"))
         backend = backend or jax.default_backend()
-        if not frozen and impl == "auto" and backend == "tpu":
+        if impl == "auto" and backend == "tpu":
             return self.model.clone(dcn_impl="shift")
         return self.model
 

@@ -60,20 +60,20 @@ def main():
     state = create_train_state(cfg, model, variables)
 
     # two-phase run ACROSS the defreeze boundary (VERDICT r3 next #7):
-    # frozen backbone first (Trainer routes DCN_IMPL=auto to select there),
-    # then the full backward with the shift-routed model — the exact impl
-    # swap + recompile Trainer._phase_model performs at MODEL.DEFREEZE
-    # (reference semantics: modelWithLoss.py:275-297). The boundary must
-    # show loss CONTINUITY (the select/shift forwards agree wherever
-    # offsets are in clamp range) and continued descent after it.
+    # frozen backbone first, then the full backward — the recompile
+    # Trainer._phase_model performs at MODEL.DEFREEZE (reference
+    # semantics: modelWithLoss.py:275-297; both phases use the
+    # tight-window shift on TPU since round 4). The boundary must show
+    # loss CONTINUITY and continued descent after it.
     DEFREEZE = 150
-    frozen_model = model  # auto -> select on TPU (layers.py:241-249)
-    unfrozen_model = (model.clone(dcn_impl="shift")
-                      if jax.default_backend() == "tpu" else model)
-    step_frozen = jax.jit(make_train_step(frozen_model, loss_fn,
+    # Trainer._phase_model: auto on TPU routes BOTH train phases to the
+    # tight-window shift; eval keeps select
+    train_model = (model.clone(dcn_impl="shift")
+                   if jax.default_backend() == "tpu" else model)
+    step_frozen = jax.jit(make_train_step(train_model, loss_fn,
                                           freeze_backbone=True),
                           donate_argnums=(0,))
-    step_full = jax.jit(make_train_step(unfrozen_model, loss_fn),
+    step_full = jax.jit(make_train_step(train_model, loss_fn),
                         donate_argnums=(0,))
 
     t0 = time.perf_counter()

@@ -358,10 +358,11 @@ def test_dp_tp_2d_mesh_train_step(tiny_setup, devices8):
 
 
 def test_phase_model_routes_dcn_impl(tmp_path):
-    """DCN_IMPL=auto on TPU: frozen/eval keep select (the faster forward),
-    the unfrozen train step reroutes to shift (the faster backward,
-    measured 526 vs 546 ms/step bs8); explicit impls are never overridden
-    and non-TPU backends are untouched."""
+    """DCN_IMPL=auto on TPU: BOTH train phases reroute to the tight-window
+    shift (unfrozen 340.4 vs 547.3 ms/step bs8, frozen 116.7 vs 135.7 —
+    measured v5e); eval keeps select via the node's auto default (168.3 vs
+    162.9 fps); explicit impls are never overridden and non-TPU backends
+    are untouched."""
     from centerfusiondetect3d_tpu.config import load_config
     from centerfusiondetect3d_tpu.models import build_model
     from centerfusiondetect3d_tpu.runtime.fit import Trainer
@@ -369,10 +370,10 @@ def test_phase_model_routes_dcn_impl(tmp_path):
     cfg = load_config(opts=["MODEL.DLA.NODE", "DeformConv"], num_classes=10)
     trainer = Trainer(cfg, build_model(cfg), output_dir=str(tmp_path))
     assert trainer.model.dcn_impl == "auto"
-    # simulated TPU backend: unfrozen -> shift, frozen stays auto (the node
-    # resolves auto -> select on TPU at trace time)
+    # simulated TPU backend: both train phases -> shift (eval keeps the
+    # auto default, which the node resolves to select on TPU at trace time)
     assert trainer._phase_model(False, backend="tpu").dcn_impl == "shift"
-    assert trainer._phase_model(True, backend="tpu").dcn_impl == "auto"
+    assert trainer._phase_model(True, backend="tpu").dcn_impl == "shift"
     # non-TPU: no rerouting
     assert trainer._phase_model(False, backend="cpu").dcn_impl == "auto"
 
