@@ -45,13 +45,73 @@ class TrainState(struct.PyTreeNode):
         )
 
 
+def scale_by_adam_perparam(b1: float = 0.9, b2: float = 0.999,
+                           eps: float = 1e-8) -> optax.GradientTransformation:
+    """``optax.scale_by_adam`` with torch's PER-PARAMETER step counts.
+
+    torch.optim.Adam keeps ``state['step']`` per param and skips params
+    whose ``.grad`` is None — so a backbone frozen for 150 epochs gets
+    bias correction from t=1 the step it defrosts
+    (modelWithLoss.py:275-297 just flips requires_grad). optax's single
+    global count instead hands freshly-activated params NO bias
+    correction (at t=150, 1-b1^t ~ 1), i.e. an effective LR up to
+    ~3-7x for their first steps — measured to spike the overfit loss
+    4.1 -> ~1e5 across the defreeze boundary (scripts/overfit_tpu.py).
+    A leaf's count starts incrementing once it has ever seen a nonzero
+    gradient (the frozen phase zero-fills backbone grads, which leaves
+    their zero-initialized moments untouched, exactly like torch's
+    skip). For always-active params every count equals the global step,
+    so trajectories stay element-exact with torch.optim (optimizer.npz
+    golden).
+    """
+
+    def init(params):
+        z = lambda t: jnp.zeros_like(t)
+        return {
+            "count": jax.tree.map(
+                lambda t: jnp.zeros((), jnp.int32), params),
+            "mu": jax.tree.map(z, params),
+            "nu": jax.tree.map(z, params),
+        }
+
+    def update(updates, state, params=None):
+        del params
+        active = jax.tree.map(
+            lambda g, c: ((c > 0) | jnp.any(g != 0)).astype(jnp.int32),
+            updates, state["count"])
+        count = jax.tree.map(lambda c, a: c + a, state["count"], active)
+        mu = jax.tree.map(lambda m, g: b1 * m + (1 - b1) * g,
+                          state["mu"], updates)
+        nu = jax.tree.map(lambda v, g: b2 * v + (1 - b2) * (g * g),
+                          state["nu"], updates)
+
+        def corrected(m, v, c):
+            # c = 0 -> m, v are exactly zero; guard the 0/0. Bias terms in
+            # the moment dtype (>= f32) so f64 anchor runs stay f64-exact.
+            ct = c.astype(jnp.promote_types(m.dtype, jnp.float32))
+            bc1 = jnp.where(c > 0, 1.0 - b1 ** ct, 1.0)
+            bc2 = jnp.where(c > 0, 1.0 - b2 ** ct, 1.0)
+            return (m / bc1) / (jnp.sqrt(v / bc2) + eps)
+
+        out = jax.tree.map(corrected, mu, nu, count)
+        return out, {"count": count, "mu": mu, "nu": nu}
+
+    return optax.GradientTransformation(init, update)
+
+
 def make_optimizer(config) -> optax.GradientTransformation:
     """AdamW(wd 5e-4) or SGD(momentum .9, wd 5e-4) with injectable LR."""
     name = config.TRAIN.OPTIMIZER
 
     def make(learning_rate):
         if name == "adam":
-            return optax.adamw(learning_rate, weight_decay=WEIGHT_DECAY)
+            # same composition as optax.adamw (scale_by_adam ->
+            # add_decayed_weights -> -lr), with per-param counts
+            return optax.chain(
+                scale_by_adam_perparam(),
+                optax.add_decayed_weights(WEIGHT_DECAY),
+                optax.scale_by_learning_rate(learning_rate),
+            )
         if name == "sgd":
             return optax.chain(
                 optax.add_decayed_weights(WEIGHT_DECAY),

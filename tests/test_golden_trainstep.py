@@ -304,3 +304,55 @@ def test_train_step_dcn_matches_reference_f64():
         f"f64 train-step parity failed:\n{r.stdout[-4000:]}\n"
         f"{r.stderr[-4000:]}")
     assert "OK" in r.stdout
+
+
+def test_optimizer_defreeze_matches_torch():
+    """Per-parameter Adam step counts across a defreeze boundary match
+    torch element-exactly: torch skips grad-None params (their state
+    starts at t=1 when they defrost, modelWithLoss.py:275-297 just flips
+    requires_grad), so a globally-counted Adam hands them ~3-7x effective
+    LR with no bias correction — measured to spike the TPU overfit loss
+    4.1 -> ~1e5 at MODEL.DEFREEZE before scale_by_adam_perparam."""
+    import torch
+
+    from centerfusiondetect3d_tpu.training.state import make_optimizer
+
+    rng = np.random.RandomState(5)
+    lr, wd, freeze_steps, total = 2e-3, 5e-4, 4, 9
+    p_frozen0 = rng.randn(6).astype(np.float32)
+    p_live0 = rng.randn(6).astype(np.float32)
+    grads = rng.randn(total, 2, 6).astype(np.float32)
+
+    tp_f = torch.nn.Parameter(torch.tensor(p_frozen0))
+    tp_l = torch.nn.Parameter(torch.tensor(p_live0))
+    opt = torch.optim.AdamW([tp_f, tp_l], lr=lr, weight_decay=wd)
+    for t in range(total):
+        opt.zero_grad(set_to_none=True)
+        if t >= freeze_steps:
+            tp_f.grad = torch.tensor(grads[t, 0])
+        tp_l.grad = torch.tensor(grads[t, 1])
+        opt.step()
+
+    cfg = SimpleNamespace(TRAIN=SimpleNamespace(OPTIMIZER="adam", LR=lr))
+    tx = make_optimizer(cfg)
+    params = {"f": jnp.asarray(p_frozen0), "l": jnp.asarray(p_live0)}
+    state = tx.init(params)
+    for t in range(total):
+        g = {
+            # frozen phase: zero-filled grads + masked update, exactly as
+            # make_train_step's freeze path
+            "f": jnp.asarray(grads[t, 0]) if t >= freeze_steps
+            else jnp.zeros(6),
+            "l": jnp.asarray(grads[t, 1]),
+        }
+        updates, state = tx.update(g, state, params)
+        if t < freeze_steps:
+            updates = {"f": jnp.zeros(6), "l": updates["l"]}
+        params = optax.apply_updates(params, updates)
+
+    np.testing.assert_allclose(np.asarray(params["l"]),
+                               tp_l.detach().numpy(), rtol=1e-5, atol=1e-7)
+    np.testing.assert_allclose(np.asarray(params["f"]),
+                               tp_f.detach().numpy(), rtol=1e-5, atol=1e-7,
+                               err_msg="defrozen param trajectory diverges "
+                                       "from torch's per-param step count")
