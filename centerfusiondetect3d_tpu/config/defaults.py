@@ -72,9 +72,9 @@ def default_config() -> ConfigNode:
     c.MODEL.INPUT_SIZE = (448, 800)
     c.MODEL.DLA = ConfigNode()
     c.MODEL.DLA.NODE = "DeformConv"  # DeformConv | GlobalConv | Conv
-    # deformable-sampling implementation: auto (on TPU: select for eval,
-    # tight-window shift for BOTH train phases — measured splits in
-    # PARITY.md; xla elsewhere)
+    # deformable-sampling implementation: auto (tight-window shift on TPU
+    # for eval AND both train phases — measured in PARITY.md; xla
+    # elsewhere)
     # | shift (static shifted-window XLA, offsets clamped to ±DCN_MAX_OFFSET)
     # | select (4-corner select over the same static windows — identical
     # clamp semantics, ~2x fewer VPU ops, integer DCN_MAX_OFFSET only)

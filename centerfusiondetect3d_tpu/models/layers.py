@@ -241,13 +241,16 @@ class DeformConvNode(nn.Module):
         if impl == "auto":
             import jax
 
-            # select edges out shift for the EVAL forward on TPU (168.3 vs
-            # 162.9 fps, measured v5e same host after the tight-window
-            # shift fix); both TRAIN phases are routed to shift by
-            # Trainer._phase_model (unfrozen 340.4 ms/step vs select's
-            # 547.3 at bs8 — select's residuals also OOM without remat —
-            # and frozen 116.7 vs 135.7)
-            impl = "select" if jax.default_backend() == "tpu" else "xla"
+            # tight-window shift wins everywhere on TPU since the round-4
+            # window fix — same-process model-level A/B on the v5e
+            # (448x800 bs6 eval): shift 176.1 fps vs select-tight 166.7 vs
+            # select-full 144.9 (earlier cross-session numbers that showed
+            # select ahead were host drift); train: unfrozen 340.4 ms/step
+            # bs8 vs select's 547.3, frozen 116.7 vs 135.7. select remains
+            # available explicitly (DCN_IMPL=select resolves tight windows
+            # for eval traces, full windows under training for the
+            # boundary-gradient STE path).
+            impl = "shift" if jax.default_backend() == "tpu" else "xla"
         if (impl in ("shift", "shift_hybrid", "select", "select_hybrid")
                 and self.dcn_deep_impl
                 and in_ch >= self.dcn_deep_min_ch):
@@ -273,6 +276,9 @@ class DeformConvNode(nn.Module):
                 x.astype(self.dtype), offset, mask,
                 weight.astype(self.dtype), bias.astype(self.dtype),
                 max_offset=self.dcn_max_offset,
+                # tight window is forward-only (it zeroes the boundary
+                # offset gradient); eval traces get the smaller window
+                tight=not train,
             )
         elif impl in ("shift_hybrid", "select_hybrid"):
             from ..ops.dcn import deform_conv2d_shift_hybrid
@@ -284,6 +290,7 @@ class DeformConvNode(nn.Module):
                 correct_frac=self.dcn_correct_frac,
                 approx=self.dcn_correct_approx,
                 base="select" if impl == "select_hybrid" else "shift",
+                tight=not train,
             )
         elif impl == "pallas":
             from ..ops.pallas_dcn import deform_conv2d_fast

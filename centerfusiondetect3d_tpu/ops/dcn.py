@@ -150,7 +150,8 @@ def deform_conv2d_shift_hybrid(x, offset, mask, weight, bias=None, *,
                                max_offset: float = 1.0,
                                correct_frac: float = 0.03,
                                approx: bool = True,
-                               base: str = "shift"):
+                               base: str = "shift",
+                               tight: bool = False):
     """Shift-window DCN with exact sparse correction of clamped pixels.
 
     The shift fast path is exact whenever every offset is within
@@ -166,7 +167,12 @@ def deform_conv2d_shift_hybrid(x, offset, mask, weight, bias=None, *,
     ``approx`` selects ``jax.lax.approx_max_k`` for the candidate selection
     (faster on TPU; recall ~0.95 — missed pixels stay at shift accuracy).
     """
-    base_fn = deform_conv2d_select if base == "select" else deform_conv2d_shift
+    if base == "select":
+        import functools
+
+        base_fn = functools.partial(deform_conv2d_select, tight=tight)
+    else:
+        base_fn = deform_conv2d_shift
     base = base_fn(x, offset, mask, weight, bias, max_offset=max_offset)
     b, h, w, c = x.shape
     o = weight.shape[-1]
@@ -190,7 +196,8 @@ def _hat(v):
 
 
 def deform_conv2d_select(x, offset, mask, weight, bias=None, *,
-                         max_offset: float = 1.0, remat: bool = True):
+                         max_offset: float = 1.0, remat: bool = True,
+                         tight: bool = False):
     """Modulated 3x3 stride-1 DCNv2 via 4-corner selects — no gathers.
 
     ``remat=True`` (default) wraps the op in ``jax.checkpoint`` so the
@@ -224,7 +231,8 @@ def deform_conv2d_select(x, offset, mask, weight, bias=None, *,
         import functools
 
         inner = functools.partial(deform_conv2d_select,
-                                  max_offset=max_offset, remat=False)
+                                  max_offset=max_offset, remat=False,
+                                  tight=tight)
         return jax.checkpoint(inner)(x, offset, mask, weight, bias)
     rf = float(r)
     pad = r + 2  # tap ring (1) + offset reach + bilinear ceil
@@ -250,23 +258,30 @@ def deform_conv2d_select(x, offset, mask, weight, bias=None, *,
         # NOTE the +1 corner windows at the clamp boundary have zero
         # bilinear WEIGHT but a nonzero one-sided DERIVATIVE — they are what
         # keeps d/d(offset) = V_right - V_left at exactly-clamped points,
-        # the STE escape path. Capping them in-range (the shift-style tight
-        # window) zeroes that gradient and breaks
-        # test_select_offset_gradients_nonzero_outside_clamp — do not.
+        # the STE escape path. ``tight=True`` caps them in-range —
+        # (2r+1)^2 windows per tap instead of (2r+2)^2, value-identical
+        # since the capped entries only ever carry weight 0 — and is
+        # therefore FORWARD-ONLY: under a gradient it zeroes d/d(offset) at
+        # exactly-clamped points
+        # (test_select_offset_gradients_nonzero_outside_clamp). The
+        # DeformConvNode passes tight = not train.
+        cap = (i - 1 + r) if tight else (i + r)
         ylo, yhi = {}, {}
-        for gx in range(j - 1 - r, j + r + 1):
+        for gx in range(j - 1 - r, (j + r) if tight else (j + r + 1)):
             v = win(i - 1 - r, gx)
             v2 = win(i - r, gx)
             for fyv in range(i - r, i + r):
                 v = jnp.where(fy == float(fyv), win(fyv, gx), v)
-                v2 = jnp.where(fy == float(fyv), win(fyv + 1, gx), v2)
+                v2 = jnp.where(fy == float(fyv),
+                               win(min(fyv + 1, cap), gx), v2)
             ylo[gx], yhi[gx] = v, v2
 
         # stage 2: resolve x; fx in [j-1-r, j-1+r]
+        xcap = (j - 1 + r) if tight else (j + r)
         def selx(tbl, plus):
-            v = tbl[j - 1 - r + plus]
+            v = tbl[min(j - 1 - r + plus, xcap)]
             for fxv in range(j - r, j + r):
-                v = jnp.where(fx == float(fxv), tbl[fxv + plus], v)
+                v = jnp.where(fx == float(fxv), tbl[min(fxv + plus, xcap)], v)
             return v
 
         v00, v01 = selx(ylo, 0), selx(ylo, 1)

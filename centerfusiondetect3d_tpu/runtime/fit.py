@@ -130,9 +130,11 @@ class Trainer:
         R=1 instead of 16, identical forward) the shift hat-sum wins BOTH
         train phases on the v5e at bs8 448x800: unfrozen 340.4 ms/step vs
         select's 547.3 (select's saved residuals also OOM bs8 without
-        remat), frozen 116.7 ms vs 135.7. Eval stays on select via the
-        ``auto`` default in layers.py (168.3 vs 162.9 fps measured same
-        host/day). Explicit DCN_IMPL settings are honored for every phase.
+        remat), frozen 116.7 ms vs 135.7 — and the eval forward too
+        (same-process A/B: 176.1 vs 166.7 fps), so layers.py's ``auto``
+        now also resolves to shift and this routing is explicit
+        confirmation. Explicit DCN_IMPL settings are honored for every
+        phase.
         """
         impl = str(self.config.MODEL.DLA.get("DCN_IMPL", "auto"))
         backend = backend or jax.default_backend()
