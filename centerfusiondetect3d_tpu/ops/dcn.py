@@ -358,10 +358,17 @@ def deform_conv2d_shift(x, offset, mask, weight, bias=None, *,
     # bound carried a whole zero-weight row+column per tap (R=1: 16 terms
     # where 9 suffice — measured 524.4 -> 343 ms/step bs8 unfrozen on the
     # v5e, bit-identical forward). Gradient note: at exactly-clamped
-    # offsets the dropped zero-weight term used to add jax's 0.5 tie-split
-    # through the tent kink; without it the boundary offset gradient is the
-    # one-sided floor-bilinear convention — the one deform_conv2d_select
-    # documents and torch uses at integer sampling points.
+    # offsets this path's d/d(offset) is NOT torch's one-sided
+    # floor-bilinear convention — the boundary sampling point sits on the
+    # tent kinks, where jax gives d|u|/du = 1 at u=0 on the center term
+    # plus a 0.5 tie-split on the remaining straddle term, so the measured
+    # clamped-point gradient is value-proportional (+1.5*V on a constant
+    # field V; the old 16-term window was +3*V). Training-irrelevant in
+    # practice: the clamp's STE (_st_clip) already stops offsets at the
+    # boundary, and the interior gradient matches torch bilinear exactly
+    # (gradient suite). deform_conv2d_select keeps the one-sided
+    # floor-bilinear convention where exact torch backward semantics at
+    # integer points matter.
     r_lo = r_hi = math.ceil(r)
     pad = r_lo + 2  # tap ring (1) + offset reach + bilinear ceil
     dtype = x.dtype

@@ -87,15 +87,19 @@ def rehearse(args) -> int:
             print(f"[rehearse] wrote synthetic raw tables -> {root}")
 
     # the dataset reads DATASET.ROOT + "nuscenes/annotations/...": accept a
-    # dataroot that IS the nuscenes dir (or self-link one in)
+    # dataroot that IS the nuscenes dir, else alias it via a symlink placed
+    # in the WRITABLE out_dir (never inside the user's dataroot — shared
+    # real-data mounts are commonly read-only and an os.symlink there
+    # would crash the rehearsal before converting)
     root = os.path.abspath(root)
     if os.path.basename(root.rstrip("/")) == "nuscenes":
         data_root = os.path.dirname(root.rstrip("/"))
     else:
-        link = os.path.join(root, "nuscenes")
+        data_root = os.path.join(os.path.abspath(out_dir), "data")
+        os.makedirs(data_root, exist_ok=True)
+        link = os.path.join(data_root, "nuscenes")
         if not os.path.exists(link):
             os.symlink(root, link)
-        data_root = root
 
     for split in (train_split, val_split):
         marker = os.path.join(root, "annotations", f"{split}.json")

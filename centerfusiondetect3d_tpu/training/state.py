@@ -63,6 +63,17 @@ def scale_by_adam_perparam(b1: float = 0.9, b2: float = 0.999,
     skip). For always-active params every count equals the global step,
     so trajectories stay element-exact with torch.optim (optimizer.npz
     golden).
+
+    Known approximation: activity is inferred from gradient VALUES, so
+    the torch-exactness claim holds only when zero grads come from the
+    freeze mask. A leaf whose grad tensor is present but happens to be
+    all-zero (e.g. a focal-loss head whose classes are absent from the
+    early batches) DOES tick torch's step counter but not this one; its
+    first real update here uses a smaller t, i.e. a slightly larger
+    bias-corrected LR for its first few steps. Threading an explicit
+    frozen mask in would close this, but the value-inferred form keeps
+    the transform usable outside the Trainer (no mask plumbing) and the
+    discrepancy decays as b1^t within ~10 steps.
     """
 
     def init(params):

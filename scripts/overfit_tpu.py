@@ -67,7 +67,7 @@ def main():
     # loss CONTINUITY and continued descent after it.
     DEFREEZE = 150
     # Trainer._phase_model: auto on TPU routes BOTH train phases to the
-    # tight-window shift; eval keeps select
+    # tight-window shift; eval's auto also resolves to shift (round 4)
     train_model = (model.clone(dcn_impl="shift")
                    if jax.default_backend() == "tpu" else model)
     step_frozen = jax.jit(make_train_step(train_model, loss_fn,

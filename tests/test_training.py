@@ -360,9 +360,11 @@ def test_dp_tp_2d_mesh_train_step(tiny_setup, devices8):
 def test_phase_model_routes_dcn_impl(tmp_path):
     """DCN_IMPL=auto on TPU: BOTH train phases reroute to the tight-window
     shift (unfrozen 340.4 vs 547.3 ms/step bs8, frozen 116.7 vs 135.7 —
-    measured v5e); eval keeps select via the node's auto default (168.3 vs
-    162.9 fps); explicit impls are never overridden and non-TPU backends
-    are untouched."""
+    measured v5e). Since round 4 the node-level auto ALSO resolves to
+    shift for eval on TPU (same-process A/B 176.1 vs 166.7 fps), so the
+    explicit train-phase routing here is confirmation, not divergence;
+    explicit impls are never overridden and non-TPU backends are
+    untouched."""
     from centerfusiondetect3d_tpu.config import load_config
     from centerfusiondetect3d_tpu.models import build_model
     from centerfusiondetect3d_tpu.runtime.fit import Trainer
@@ -371,7 +373,8 @@ def test_phase_model_routes_dcn_impl(tmp_path):
     trainer = Trainer(cfg, build_model(cfg), output_dir=str(tmp_path))
     assert trainer.model.dcn_impl == "auto"
     # simulated TPU backend: both train phases -> shift (eval keeps the
-    # auto default, which the node resolves to select on TPU at trace time)
+    # auto default, which the node ALSO resolves to shift on TPU at trace
+    # time since round 4 — layers.py)
     assert trainer._phase_model(False, backend="tpu").dcn_impl == "shift"
     assert trainer._phase_model(True, backend="tpu").dcn_impl == "shift"
     # non-TPU: no rerouting
