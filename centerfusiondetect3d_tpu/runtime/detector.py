@@ -11,9 +11,10 @@ once.
 
 from __future__ import annotations
 
+import os
 import time as _time
 
-from typing import Any, Dict, List
+from typing import Any, Dict, List, Optional
 
 import numpy as np
 
@@ -161,6 +162,29 @@ def _fetch_packed(processed: Dict[str, Any]) -> Dict[str, np.ndarray]:
         return {k: np.asarray(v) for k, v in rest.items()}
     return _unpack_detections(packed, {k: np.asarray(v)
                                        for k, v in rest.items()})
+
+
+def derive_stream_defaults(cpu_count: Optional[int] = None) -> Dict[str, int]:
+    """run_stream worker/prefetch defaults keyed off the host core count.
+
+    The shipped floor (1/2/2) is the swept winner on the 1-core bench hosts
+    (ROADMAP round-3 overlap session: every wider setting lost to GIL
+    contention there). With more cores, decode/warp parallelize across
+    ``workers`` (cv2 releases the GIL) and one extra core is left for the
+    consumer thread; fetch threads are tunnel/PCIe WAITERS (GIL released),
+    so they scale gently and cap early. These multi-core values are
+    core-count extrapolations, not sweeps — ``python bench.py --sweep-e2e``
+    measures the actual winner for the current host and prints the table.
+    """
+    n = cpu_count if cpu_count is not None else (os.cpu_count() or 1)
+    workers = max(1, min(n - 1, 6))
+    return {
+        "workers": workers,
+        "fetch_workers": 2 if n <= 2 else 3,
+        # one prepared batch per decode worker, +1 so the consumer never
+        # starves while a new batch is being assembled
+        "prefetch": max(2, workers + 1),
+    }
 
 
 class Detector:
@@ -543,9 +567,17 @@ class Detector:
         return merged
 
     # ------------------------------------------------------------- streaming
-    def run_stream(self, frames, prefetch: int = 2, depth: int = 8,
-                   workers: int = 1, fetch_workers: int = 2):
+    def run_stream(self, frames, prefetch: Optional[int] = None,
+                   depth: int = 8, workers: Optional[int] = None,
+                   fetch_workers: Optional[int] = None):
         """Pipelined inference over an iterable of frames.
+
+        ``workers`` / ``fetch_workers`` / ``prefetch`` default to
+        ``derive_stream_defaults()`` — keyed off ``os.cpu_count()`` with the
+        swept 1-core values (1/2/2) as the floor, so a multi-core host is
+        not pinned to the 1-core tuning (VERDICT r4 next #5). Run
+        ``python bench.py --sweep-e2e`` on a new host to measure its
+        same-process sweep winner and override explicitly if it differs.
 
         ``frames`` yields (images, img_infos, radar_pcs) tuples (same
         arguments as ``run``). Host work (decode + affine warp + radar
@@ -579,6 +611,12 @@ class Detector:
         import queue as _queue
         import threading as _threading
         from concurrent.futures import ThreadPoolExecutor as _Pool
+
+        d = derive_stream_defaults()
+        workers = d["workers"] if workers is None else workers
+        fetch_workers = (d["fetch_workers"] if fetch_workers is None
+                         else fetch_workers)
+        prefetch = d["prefetch"] if prefetch is None else prefetch
 
         pre_q: _queue.Queue = _queue.Queue(maxsize=max(1, prefetch))
         _END = object()

@@ -1,0 +1,88 @@
+"""From-scratch training campaign mechanics (VERDICT r4 next #1).
+
+The FULL campaign (random init -> mAP target on held-out synthetic val)
+runs on the real TPU via ``scripts/train_campaign.py``; its recorded
+report lives in output/campaign_r5 + PARITY.md. This suite pins the
+MECHANICS at smoke scale on CPU: both phases run, the mid-run checkpoint
+RESUME starts at the exact phase-1 epoch, losses stay finite, and the
+held-out val summaries are produced at every stage.
+"""
+
+import importlib.util
+import json
+import os
+
+import pytest
+
+_SCRIPT = os.path.join(os.path.dirname(__file__), "..", "scripts",
+                       "train_campaign.py")
+
+
+def _load_campaign():
+    spec = importlib.util.spec_from_file_location("train_campaign", _SCRIPT)
+    mod = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(mod)
+    return mod
+
+
+@pytest.mark.slow
+def test_campaign_smoke_mechanics(tmp_path):
+    camp = _load_campaign()
+    out = str(tmp_path / "campaign")
+    rc = camp.main(["--out", out, "--scale", "smoke", "--platform", "cpu",
+                    "--fresh"])
+    report = json.load(open(os.path.join(out, "campaign_report.json")))
+    assert rc == 0, report
+    assert report["passed"] is True
+    assert report["resume_ok"] is True
+    sc = camp.SCALES["smoke"]
+    assert report["phase2"]["resume_start_epoch"] == sc["e1"]
+    # every stage produced a held-out val summary
+    for stage in ("baseline", "phase1", "phase2"):
+        blob = report[stage] if stage == "baseline" else report[stage]["val"]
+        assert blob and "mAP" in blob
+    # losses finite and recorded
+    assert report["phase2"]["train_loss_last"] == pytest.approx(
+        report["phase2"]["train_loss_last"])
+
+
+def test_campaign_tables_learnable_world():
+    """The campaign generator writes a linked, moving, rendered world:
+    finite velocities for chained annotations, nonempty renders, valid
+    converter output."""
+    import numpy as np
+
+    camp_tables = pytest.importorskip(
+        "centerfusiondetect3d_tpu.data.synthetic").make_campaign_tables
+    from centerfusiondetect3d_tpu.data.convert_nuscenes import export_split
+
+    root = os.path.join(os.environ.get("PYTEST_TMP", "/tmp"),
+                        "campaign_tables_test")
+    import shutil
+
+    shutil.rmtree(root, ignore_errors=True)
+    camp_tables(root, {"mini_train": 10, "mini_val": 4})
+    export_split(root, "mini_train", verbose=False)
+    ann = json.load(open(os.path.join(root, "annotations",
+                                      "mini_train.json")))
+    assert len(ann["images"]) == 10
+    assert len(ann["annotations"]) >= 10
+    vels = np.array([a["velocity"] for a in ann["annotations"]], np.float64)
+    finite = np.isfinite(vels).all(axis=1)
+    # linked chains dominate; single-frame objects may stay NaN (devkit
+    # box_velocity semantics — the eval excludes them from vel_err)
+    assert finite.mean() > 0.5
+    assert np.abs(vels[finite]).max() > 0.1  # the world really moves
+    cats = {a["category_id"] for a in ann["annotations"]}
+    assert len(cats) >= 2  # multi-class world
+    # renders carry signal: the object hull changes pixel stats vs background
+    import cv2
+
+    im0 = ann["images"][0]
+    img = cv2.imread(os.path.join(root, im0["file_name"]))
+    a0 = [a for a in ann["annotations"] if a["image_id"] == im0["id"]][0]
+    x, y, bw, bh = [int(v) for v in a0["bbox"]]
+    box = img[max(0, y):y + max(1, bh), max(0, x):x + max(1, bw)]
+    chan_diff = np.abs(box.reshape(-1, 3).mean(0) - img.reshape(-1, 3).mean(0))
+    assert chan_diff.max() > 15.0  # category colors are channel-saturated
+    shutil.rmtree(root, ignore_errors=True)

@@ -317,3 +317,23 @@ def test_one_hot_depth_at_max_dist_clamps():
                    np.array([float(md)], np.float32), md, True,
                    np.tile(row[:, None], (1, 1)))
     assert m2[5, 4, md - 1] == md
+
+
+def test_derive_stream_defaults_scales_with_cores():
+    """Multi-core hosts get wider stream defaults; the 1-core floor stays
+    the swept (1, 2, 2) winner (VERDICT r4 next #5)."""
+    from centerfusiondetect3d_tpu.runtime.detector import derive_stream_defaults
+
+    one = derive_stream_defaults(cpu_count=1)
+    assert one == {"workers": 1, "fetch_workers": 2, "prefetch": 2}
+    eight = derive_stream_defaults(cpu_count=8)
+    assert eight["workers"] > one["workers"]
+    assert eight["fetch_workers"] >= one["fetch_workers"]
+    assert eight["prefetch"] >= eight["workers"]  # no worker starves the queue
+    # monotone, capped: 64 cores must not spawn 63 decode threads
+    huge = derive_stream_defaults(cpu_count=64)
+    assert huge["workers"] <= 8
+    # matches the ambient host when called without an argument
+    import os
+
+    assert derive_stream_defaults() == derive_stream_defaults(os.cpu_count() or 1)
