@@ -46,8 +46,17 @@ class GenericDataset:
         self.img_dir = img_dir
         self.coco = CocoReader(ann_path)
         self.images = self.coco.get_img_ids()
+        # meta (true per-image center/scale/img_id) rides with every item of
+        # an eval split. The reference gates this on OFFICIAL_EVAL/EVAL
+        # (generic_dataset.py enable_meta) and its in-training val leans on
+        # default_resolution matching the real image size (900x1600); with
+        # arbitrary image sizes that fallback unprojects detections with the
+        # WRONG center/scale — found by the round-5 from-scratch campaign
+        # (448x256 frames, val mAP pinned at 0 while the loss trained) — so
+        # eval splits always carry meta here.
         self.enable_meta = (
-            (config.TEST.OFFICIAL_EVAL and split in ("val", "mini_val", "test"))
+            split in ("val", "mini_val", "test")
+            or config.TEST.OFFICIAL_EVAL
             or config.EVAL
             or config.weights.get("bbox3d", 0) > 0
         )

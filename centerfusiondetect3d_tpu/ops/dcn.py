@@ -20,6 +20,11 @@ from __future__ import annotations
 import jax
 import jax.numpy as jnp
 
+# probe hook: insert an optimization_barrier after each shift-DCN tap
+# accumulation (scripts/probe_batch_cliff.py measures whether bounding the
+# accumulation live range defeats the bs>6 fusion cliff). Ships OFF.
+TAP_BARRIERS = False
+
 
 def deform_conv2d(x, offset, mask, weight, bias=None):
     """Modulated 3x3 stride-1 deformable convolution (DCNv2), NHWC.
@@ -401,6 +406,12 @@ def deform_conv2d_shift(x, offset, mask, weight, bias=None, *,
             preferred_element_type=jnp.promote_types(x.dtype, jnp.float32),
         )
         out = term if out is None else out + term
+        if TAP_BARRIERS:
+            # probe hook (scripts/probe_batch_cliff.py): pin the running
+            # accumulation after every tap so the scheduler cannot widen
+            # the live range across taps — tests whether bounding live
+            # ranges defeats the bs>6 fusion cliff. Default OFF.
+            out = jax.lax.optimization_barrier(out)
 
     if bias is not None:
         out = out + bias

@@ -2005,7 +2005,8 @@ def gen_eval_format(torch, out_dir):
 
 
 def gen_model(torch, out_dir, node="Conv", fusion="middle", tag="",
-              frustum=False, offset_scale=0.05, offset_bias=0.0):
+              frustum=False, offset_scale=0.05, offset_bias=0.0,
+              calibrate_bn=0):
     """FULL-MODEL golden: run the reference DLASeg (Conv/GlobalConv nodes —
     no torchvision needed) in eval mode on seeded inputs and save its
     state_dict + outputs.
@@ -2034,6 +2035,17 @@ def gen_model(torch, out_dir, node="Conv", fusion="middle", tag="",
     (in output px) through EVERY node regardless of feature statistics —
     the "wide" fixture uses this to prove exact-DCN parity at realistic
     trained-offset magnitudes (~1.5 px), not just near zero.
+
+    ``calibrate_bn=N``: run N train-mode forward passes on seeded random
+    batches (no_grad) so the BN running stats calibrate to the real
+    activation distribution before the eval capture. Random-init eval-mode
+    BN (running mean 0 / var 1) lets activation variance decay
+    multiplicatively through the depth, leaving the DCN input features
+    near-flat (std 1e-4..1e-2 — the PARITY caveat on the wide fixtures);
+    calibrated stats restore O(0.1-1) feature std so a fixture actually
+    PRICES the fast paths' offset clamp under loud features (VERDICT r4
+    next #6). The per-node DCN input stds are recorded in the blob
+    (``dcn_input_std_*``) so the matching test can assert non-vacuousness.
     """
     from config import config, updateDatasetAndModelConfig
     from model.model import getModel
@@ -2114,6 +2126,30 @@ def gen_model(torch, out_dir, node="Conv", fusion="middle", tag="",
                  np.float32), (b, 1, 1),
     )
     t = torch.from_numpy
+
+    if calibrate_bn:
+        cal_rs = np.random.RandomState(31)
+        model.train()
+        with torch.no_grad():
+            for _ in range(int(calibrate_bn)):
+                ci = cal_rs.randn(b, 3, 64, 128).astype(np.float32)
+                cp = (np.abs(cal_rs.randn(b, 3, oh, ow)).astype(np.float32)
+                      * 30)
+                # train mode consumes the GT-painted pc_hm directly
+                # (base_model.py:67-79 eval normalization is skipped)
+                model(t(ci), pc_hm=t(cp / 60.0), pc_dep=t(cp.copy()),
+                      calib=t(calib))
+        model.eval()
+
+    feat_stds = []
+    fhooks = []
+    if node == "DeformConv":
+        def _grab_feat(mod, inp, out):
+            feat_stds.append(float(inp[0].std()))
+
+        fhooks = [m.register_forward_hook(_grab_feat)
+                  for m in model.modules()
+                  if isinstance(m, ref_dla.DeformConv)]
     with torch.no_grad():
         # .copy(): BaseModel.forward normalizes pc_dep IN PLACE
         # (base_model.py:74-78) and from_numpy shares memory — without the
@@ -2122,10 +2158,14 @@ def gen_model(torch, out_dir, node="Conv", fusion="middle", tag="",
                      calib=t(calib))
     blob = {"in_img": img, "in_pc_dep": pc_dep, "in_calib": calib}
     if node == "DeformConv":
-        for h_ in hooks:
+        for h_ in hooks + fhooks:
             h_.remove()
         blob["offset_std"] = np.float64(np.mean(offset_stds))
-        print(f"  DCN offset std through the net: {np.mean(offset_stds):.3f} px")
+        blob["dcn_input_std_mean"] = np.float64(np.mean(feat_stds))
+        blob["dcn_input_std_min"] = np.float64(np.min(feat_stds))
+        print(f"  DCN offset std through the net: {np.mean(offset_stds):.3f} px"
+              f" | input feature std mean {np.mean(feat_stds):.4f}"
+              f" min {np.min(feat_stds):.4f}")
     for k, v in outs[-1].items():
         if hasattr(v, "detach"):
             blob[f"out_{k}"] = v.detach().numpy()
@@ -2596,6 +2636,16 @@ def main():
                                     offset_scale=0.3, offset_bias=1.5)),
         ("model", lambda: gen_model(torch, out_dir, node="DeformConv",
                                     frustum=True, tag="_dcn_frustum")),
+        # loud-feature clamp-pricing fixture: BN running stats calibrated
+        # by train-mode passes so the DCN inputs carry O(0.1-1) std and the
+        # fast paths' ±1 px clamp produces a NON-vacuous delta
+        # offset_scale stays at the small default: with calibrated (loud)
+        # features a 0.3-scale offset conv drives ~7.5 px offsets —
+        # far past anything trained (overfit run p99 ~1.5 px shallow); the
+        # bias term alone pins the realistic ~1.5 px magnitude
+        ("model_loud", lambda: gen_model(torch, out_dir, node="DeformConv",
+                                         tag="_dcn_loud", offset_scale=0.02,
+                                         offset_bias=1.5, calibrate_bn=8)),
         ("train_step", lambda: gen_train_step(torch, out_dir)),
         ("train_step", lambda: gen_train_step(
             torch, out_dir, node="DeformConv", tag="_dcn",

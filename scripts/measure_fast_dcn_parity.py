@@ -82,9 +82,18 @@ if __name__ == "__main__":
         ("model_forward_dcn_wide.npz", False, None),
         ("model_forward_dcn_wide_frustum.npz", True,
          "model_forward_dcn_wide.npz"),
+        # loud-feature clamp-pricing fixture (VERDICT r4 next #6):
+        # BN-calibrated features (std ~0.06-0.11 at the DCN inputs, vs
+        # 1e-4..1e-2 on the wide fixtures) with realistic ~1.5 px offsets —
+        # the fast paths' ±1 px clamp finally costs something visible here.
+        # 'xla' rows prove the importer/composition on this fixture is
+        # exact, so the entire fast-path delta is the clamp itself.
+        ("model_forward_dcn_loud.npz", False, None),
     ]
-    for impl in ("select", "shift"):
+    for impl in ("xla", "select", "shift"):
         for fixture, frustum, sd_fixture in cases:
+            if impl == "xla" and "loud" not in fixture:
+                continue  # exact parity on the wide pair is already tested
             rows = run(fixture, frustum, sd_fixture, impl)
             print(f"\n### {impl} (+ deep {impl}_hybrid) vs {fixture}")
             print("| head | rel RMS | max abs | golden RMS |")

@@ -189,8 +189,23 @@ def main(argv=None):
         print(f"[campaign] phase2 done: {report['phase2']}")
         json.dump(report, open(report_path, "w"), indent=1)
 
+    # ------------- final: standalone eval-only val of the last checkpoint
+    # (separate stage so an eval-side fix can re-score a finished training
+    # run without retraining: delete the "final" key and rerun)
+    if "final" not in report:
+        cfgf, _ = build_cfg(args, sc, root, out_dir, epochs=0, resume=False)
+        cfgf.defrost()
+        cfgf.EVAL = True
+        cfgf.MODEL.LOAD_DIR = os.path.join(out_dir, "ckpts", "model_last")
+        cfgf.freeze()
+        model = build_model(cfgf)
+        Trainer(cfgf, model, None, ds_cls(cfgf, "mini_val"), out_dir).val()
+        report["final"] = {"val": read_summary(out_dir)}
+        print(f"[campaign] final eval: {report['final']}")
+        json.dump(report, open(report_path, "w"), indent=1)
+
     # --------------------------------------------------------------- report
-    final = (report.get("phase2") or {}).get("val") or {}
+    final = (report.get("final") or {}).get("val") or {}
     base = report.get("baseline") or {}
     report["final_mAP"] = final.get("mAP")
     report["final_NDS"] = final.get("NDS")
