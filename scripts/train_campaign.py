@@ -29,6 +29,8 @@ import shutil
 import sys
 import time
 
+import numpy as np
+
 sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
 
 SCALES = {
@@ -36,9 +38,10 @@ SCALES = {
     # lr_step, defreeze, warm
     "full": dict(n_train=400, n_val=100, input=(128, 224), batch=16,
                  e1=30, e2=70, lr_step=55, defreeze=2, warm=2,
-                 target_map=0.30),
+                 e3=150, lr_step3=130, target_map=0.30),
     "smoke": dict(n_train=12, n_val=6, input=(64, 128), batch=4,
                   e1=2, e2=4, lr_step=3, defreeze=0, warm=1,
+                  e3=4, lr_step3=3,  # == e2: phase3 skipped at smoke scale
                   target_map=-1.0),  # smoke asserts improvement only
 }
 
@@ -82,15 +85,26 @@ def build_cfg(args, sc, root, out_dir, *, epochs, resume):
     ), ds_cls
 
 
+CAMPAIGN_CLASSES = ("car", "truck", "pedestrian")
+
+
 def read_summary(out_dir):
     p = os.path.join(out_dir, "nuscenes_eval_det_output_mini_val",
                      "range_all", "metrics_summary.json")
     if not os.path.exists(p):
         return None
     m = json.load(open(p))
+    per_class = m.get("mean_dist_aps", {})
+    # the campaign world contains 3 of the 10 nuScenes classes; the
+    # devkit-faithful mean_ap still averages all 10 (absent classes score
+    # 0), capping it at 0.3 — so detection competence is judged on the
+    # PRESENT-class mean, the number comparable to a real-data mAP
+    present = [per_class[c] for c in CAMPAIGN_CLASSES if c in per_class]
     return {"mAP": float(m.get("mean_ap", float("nan"))),
+            "present_class_mAP": (float(np.mean(present))
+                                  if present else float("nan")),
             "NDS": float(m.get("nd_score", float("nan"))),
-            "per_class_ap": m.get("mean_dist_aps", {})}
+            "per_class_ap": per_class}
 
 
 def main(argv=None):
@@ -189,6 +203,31 @@ def main(argv=None):
         print(f"[campaign] phase2 done: {report['phase2']}")
         json.dump(report, open(report_path, "w"), indent=1)
 
+    # ---- phase 3: long continuation at full LR (resume again; epoch-70
+    # val showed heatmap/size learned but amodal-offset/depth/yaw/velocity
+    # underfit with the LR already stepped to 2.5e-5 — restore 2.5e-4 until
+    # lr_step3 and train to e3)
+    if sc["e3"] > sc["e2"] and "phase3" not in report:
+        cfg3, _ = build_cfg(args, sc, root, out_dir, epochs=sc["e3"],
+                            resume=True)
+        cfg3.defrost()
+        cfg3.TRAIN.LR_STEP = (sc["lr_step3"],)
+        cfg3.TRAIN.VAL_INTERVALS = 40
+        cfg3.freeze()
+        model = build_model(cfg3)
+        dataset_train = ds_cls(cfg3, "mini_train")
+        tr = Trainer(cfg3, model, dataset_train, dataset_val, out_dir)
+        t0 = time.time()
+        tr.train()
+        report["phase3"] = {
+            "resume_start_epoch": tr.start_epoch,
+            "epochs": sc["e3"], "wall_s": round(time.time() - t0, 1),
+            "train_loss_last": tr.history["train"].get("total", [None])[-1],
+        }
+        report.pop("final", None)  # re-score below with the new weights
+        print(f"[campaign] phase3 done: {report['phase3']}")
+        json.dump(report, open(report_path, "w"), indent=1)
+
     # ------------- final: standalone eval-only val of the last checkpoint
     # (separate stage so an eval-side fix can re-score a finished training
     # run without retraining: delete the "final" key and rerun)
@@ -207,10 +246,11 @@ def main(argv=None):
     # --------------------------------------------------------------- report
     final = (report.get("final") or {}).get("val") or {}
     base = report.get("baseline") or {}
-    report["final_mAP"] = final.get("mAP")
+    report["final_mAP"] = final.get("present_class_mAP", final.get("mAP"))
+    report["final_mAP_10class"] = final.get("mAP")
     report["final_NDS"] = final.get("NDS")
-    report["baseline_mAP"] = base.get("mAP")
-    report["target_mAP"] = sc["target_map"]
+    report["baseline_mAP"] = base.get("present_class_mAP", base.get("mAP"))
+    report["target_mAP"] = sc["target_map"]  # on the present-class mean
     report["resume_ok"] = (
         (report.get("phase2") or {}).get("resume_start_epoch") == sc["e1"])
     loss_last = (report.get("phase2") or {}).get("train_loss_last")
