@@ -38,10 +38,12 @@ SCALES = {
     # lr_step, defreeze, warm
     "full": dict(n_train=400, n_val=100, input=(128, 224), batch=16,
                  e1=30, e2=70, lr_step=55, defreeze=2, warm=2,
-                 e3=150, lr_step3=130, target_map=0.30),
+                 e3=150, lr_step3=130, e4=280, lr_step4=250,
+                 target_map=0.30),
     "smoke": dict(n_train=12, n_val=6, input=(64, 128), batch=4,
                   e1=2, e2=4, lr_step=3, defreeze=0, warm=1,
-                  e3=4, lr_step3=3,  # == e2: phase3 skipped at smoke scale
+                  e3=4, lr_step3=3,  # == e2: phase3/4 skipped at smoke scale
+                  e4=4, lr_step4=3,
                   target_map=-1.0),  # smoke asserts improvement only
 }
 
@@ -226,6 +228,29 @@ def main(argv=None):
         }
         report.pop("final", None)  # re-score below with the new weights
         print(f"[campaign] phase3 done: {report['phase3']}")
+        json.dump(report, open(report_path, "w"), indent=1)
+
+    # ---- phase 4: second continuation block (same pattern; epoch-149
+    # vals still climbing — run the schedule out to e4)
+    if sc["e4"] > sc["e3"] and "phase3" in report and "phase4" not in report:
+        cfg4, _ = build_cfg(args, sc, root, out_dir, epochs=sc["e4"],
+                            resume=True)
+        cfg4.defrost()
+        cfg4.TRAIN.LR_STEP = (sc["lr_step4"],)
+        cfg4.TRAIN.VAL_INTERVALS = 40
+        cfg4.freeze()
+        model = build_model(cfg4)
+        dataset_train = ds_cls(cfg4, "mini_train")
+        tr = Trainer(cfg4, model, dataset_train, dataset_val, out_dir)
+        t0 = time.time()
+        tr.train()
+        report["phase4"] = {
+            "resume_start_epoch": tr.start_epoch,
+            "epochs": sc["e4"], "wall_s": round(time.time() - t0, 1),
+            "train_loss_last": tr.history["train"].get("total", [None])[-1],
+        }
+        report.pop("final", None)
+        print(f"[campaign] phase4 done: {report['phase4']}")
         json.dump(report, open(report_path, "w"), indent=1)
 
     # ------------- final: standalone eval-only val of the last checkpoint
