@@ -167,6 +167,12 @@ def default_config() -> ConfigNode:
     # measured at bs12 — the shift-DCN accumulations stop fusing); Detector
     # splits larger batches into sequential programs of this size. 0 = off.
     c.TEST.MAX_DEVICE_BATCH = 6
+    # when the batch is a multiple of MAX_DEVICE_BATCH, run ONE program
+    # that lax.maps the sub-batch forward instead of sequential programs:
+    # per-iteration footprint stays at the fusion sweet spot and dispatch
+    # is paid once. Measured v5e 448x800: bs24 map 4x6 = 228.2 fps vs bs6's
+    # 213.3 and monolithic bs12's 191.1 (scripts/probe_batch_cliff.py).
+    c.TEST.DEVICE_BATCH_MAP = True
     # serving path: paint the radar depth map ON DEVICE from compact
     # per-point (box, value) rows instead of shipping the dense raster —
     # bit-identical to the host paint (ops/rasterize.py docstring) and ~10x

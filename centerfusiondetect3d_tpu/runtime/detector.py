@@ -202,6 +202,7 @@ class Detector:
         self.std = NuScenesDataset.std
         self.variables = variables or self._init_variables()
         self._infer = jax.jit(self._forward)
+        self._infer_map = {}  # n_sub -> jitted lax.map program
         # thread-safe per-stage accumulators for the streaming pipeline
         # (worker threads time their own decode/warp/rasterize work; the
         # reference's per-stage AverageMeter surface, detector.py:44-155)
@@ -433,6 +434,33 @@ class Detector:
         }
         return processed, {k: v for k, v in extras.items() if v is not None}
 
+    def _mapped_infer(self, n_sub: int):
+        """jitted program: lax.map the bs<=MAX_DEVICE_BATCH forward over
+        ``n_sub`` stacked sub-batches, then flatten results back to the
+        full batch (see the measured table at the call site)."""
+        if n_sub not in self._infer_map:
+            forward = self._forward
+
+            def fn(variables, image, pc_dep, calib, trans_inv):
+                def split(x):
+                    return x.reshape((n_sub, x.shape[0] // n_sub)
+                                     + x.shape[1:])
+
+                xs = (jax.tree.map(split, image),
+                      jax.tree.map(split, pc_dep),
+                      split(calib), split(trans_inv))
+
+                def one(args):
+                    im, pc, cal, ti = args
+                    return forward(variables, im, pc, cal, ti)
+
+                out = jax.lax.map(one, xs)
+                return jax.tree.map(
+                    lambda x: x.reshape((-1,) + x.shape[2:]), out)
+
+            self._infer_map[n_sub] = jax.jit(fn)
+        return self._infer_map[n_sub]
+
     def process(self, batch, metas):
         t0 = _time.perf_counter()
         out = self._process_inner(batch, metas)
@@ -460,6 +488,25 @@ class Detector:
         trans_inv = np.asarray(trans_inv)
         nimg = image.shape[0]
         max_db = int(self.config.TEST.get("MAX_DEVICE_BATCH", 6))
+        if (max_db > 0 and nimg > max_db and nimg % max_db == 0
+                and bool(self.config.TEST.get("DEVICE_BATCH_MAP", True))):
+            # ONE device program that lax.maps the bs<=max_db forward over
+            # sub-batches: per-iteration footprint stays at the fusion
+            # sweet spot while dispatch/launch overhead is paid once.
+            # Measured on v5e 448x800 (scripts/probe_batch_cliff.py,
+            # same-process): bs6 monolithic 213.3 fps / bs12 monolithic
+            # 191.1 (temp 1432 MiB, the cliff) / bs12 map 2x6 221.1 (temp
+            # 370 MiB) / bs24 map 4x6 **228.2** (temp 397 MiB) — the map
+            # split both defeats the cliff and beats bs6 by ~7%.
+            k = nimg // max_db
+            if isinstance(pc_dep, tuple):
+                pc_dep = (jnp.asarray(pc_dep[0]), jnp.asarray(pc_dep[1]))
+            elif pc_dep is not None:
+                pc_dep = jnp.asarray(pc_dep)
+            return self._mapped_infer(k)(
+                self.variables, jnp.asarray(image), pc_dep,
+                jnp.asarray(calib), jnp.asarray(trans_inv),
+            )
         if max_db > 0 and nimg > max_db:
             # bs>MAX_DEVICE_BATCH falls off an XLA fusion cliff (measured
             # on v5e: bs12 = 39.7 fps vs bs6 = 111.9 with the reshaping DCN

@@ -87,6 +87,12 @@ def measure(fn, variables, inputs, batch, label, compiler_options=None):
 
 
 def main():
+    if os.environ.get("DCN_TAP_BARRIERS"):
+        # must precede any model trace (see note at the F variant below)
+        from centerfusiondetect3d_tpu.ops import dcn as dcn_mod
+
+        dcn_mod.TAP_BARRIERS = True
+        print("TAP_BARRIERS armed for every variant in this process")
     cfg = load_config(
         opts=["MODEL.INPUT_SIZE", "(448, 800)", "MODEL.DLA.NODE",
               "DeformConv"], num_classes=10)
@@ -125,6 +131,13 @@ def main():
     i12 = make_inputs(12, cfg, rng)
     results.append(measure(infer_scalar, variables, i12, 12,
                            "B bs12 monolithic"))
+    if os.environ.get("DCN_TAP_BARRIERS"):
+        print("barrier mode: A/B measured with barriers; done")
+        for r in results:
+            if r:
+                print(f"  {r['label']}: {r['fps']} fps, temp "
+                      f"{r['temp_mib']} MiB")
+        return
     results.append(measure(infer_map(2), variables, i12, 12,
                            "C bs12 lax.map 2x6"))
     i24 = make_inputs(24, cfg, rng)
@@ -139,20 +152,14 @@ def main():
             infer_scalar, variables, i12, 12,
             f"E bs12 flags {flags}", compiler_options=flags))
 
-    # F: bound the tap-accumulation live range with optimization_barrier
-    from centerfusiondetect3d_tpu.ops import dcn as dcn_mod
-
-    if hasattr(dcn_mod, "TAP_BARRIERS"):
-        dcn_mod.TAP_BARRIERS = True
-        try:
-            results.append(measure(infer_scalar, variables, i12, 12,
-                                   "F bs12 tap barriers"))
-            results.append(measure(infer_scalar, variables, i6, 6,
-                                   "F bs6 tap barriers"))
-        finally:
-            dcn_mod.TAP_BARRIERS = False
-    else:
-        print("F: ops.dcn.TAP_BARRIERS not available; skipped")
+    # F (tap barriers) must run in its OWN process with DCN_TAP_BARRIERS=1:
+    # toggling ops.dcn.TAP_BARRIERS after the model's first trace in a
+    # process does not reach new traces (measured: barrier count 0 in the
+    # jaxpr when toggled late, 144 when set before model build), so an
+    # in-process F silently re-measures B.
+    if not os.environ.get("DCN_TAP_BARRIERS"):
+        print("F: rerun with DCN_TAP_BARRIERS=1 for the barrier variant "
+              "(own process)")
 
     print("\nsummary:")
     for r in results:

@@ -337,3 +337,32 @@ def test_derive_stream_defaults_scales_with_cores():
     import os
 
     assert derive_stream_defaults() == derive_stream_defaults(os.cpu_count() or 1)
+
+
+def test_batch_map_split_matches_monolithic(detector, rng):
+    """TEST.DEVICE_BATCH_MAP: a batch that is a multiple of
+    MAX_DEVICE_BATCH runs as ONE lax.map program over sub-batches
+    (measured +7% aggregate fps over bs6 on the v5e and no fusion-cliff
+    temp blowup — probe table at Detector._process_inner) with results
+    identical to the monolithic program and to the sequential split."""
+    imgs = [(rng.rand(240, 320, 3) * 255).astype(np.uint8) for _ in range(4)]
+    radars = [np.zeros((18, 0), np.float32)] * 4
+
+    def run_with(max_db, use_map):
+        cfg = detector.config.clone()
+        cfg.defrost()
+        cfg.TEST.MAX_DEVICE_BATCH = max_db
+        cfg.TEST.DEVICE_BATCH_MAP = use_map
+        cfg.freeze()
+        det = Detector(cfg, variables=detector.variables, batch_size=4)
+        return det.run(imgs, radar_pcs=radars)
+
+    mapped = run_with(2, True)
+    sequential = run_with(2, False)
+    monolithic = run_with(0, False)
+    for i in range(4):
+        a = sorted(it["score"] for it in mapped["results"][i])
+        b = sorted(it["score"] for it in sequential["results"][i])
+        c = sorted(it["score"] for it in monolithic["results"][i])
+        np.testing.assert_allclose(a, b, rtol=1e-5, atol=1e-6)
+        np.testing.assert_allclose(a, c, rtol=1e-4, atol=1e-5)
