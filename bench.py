@@ -323,6 +323,13 @@ def bench_train_steps():
         "velocity": rng.randn(b, m, 3).astype(np.float32),
         "rotbin": rng.randint(0, 2, (b, m, 2)),
         "rotres": rng.randn(b, m, 2).astype(np.float32) * 0.2,
+        "target": {
+            "heatCenters": np.stack(
+                [rng.rand(b, m) * (ow - 1), rng.rand(b, m) * (oh - 1)],
+                -1).astype(np.float32),
+            "bboxes": rng.rand(b, m, 4).astype(np.float32) * 30,
+            "bboxes3d": rng.randn(b, m, 8, 3).astype(np.float32),
+        },
     }
     batch = jax.tree.map(jnp.asarray, batch)
     variables = jax.jit(model.init, static_argnames=("train",))(
@@ -491,7 +498,10 @@ def main():
     except Exception as e:  # keep the primary metric robust
         e2e_fps, e2e_stage_ms = f"error: {type(e).__name__}", {}
 
-    train = bench_train_steps()
+    try:
+        train = bench_train_steps()
+    except Exception as e:  # train micro-bench must not sink the metric
+        train = {"error": f"{type(e).__name__}: {e}"}
 
     print(
         json.dumps(
