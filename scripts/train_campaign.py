@@ -36,9 +36,16 @@ sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
 SCALES = {
     # n_train, n_val, input (h, w), batch, epochs_phase1, epochs_total,
     # lr_step, defreeze, warm
+    # e4 == e3 disables the second continuation: MEASURED on the v5e, a
+    # second full-LR (2.5e-4) restart at epoch 150 DESTABILIZES the
+    # converged model — train loss 13.4 -> 18.8 and held-out present-class
+    # mAP collapsed 0.303 -> 0.012 by epoch 199 (run killed, epoch-149
+    # checkpoint restored). The first restart (epoch 70) worked because the
+    # model was still far from its minimum; after convergence only a
+    # low-LR fine-tune continuation would be safe.
     "full": dict(n_train=400, n_val=100, input=(128, 224), batch=16,
                  e1=30, e2=70, lr_step=55, defreeze=2, warm=2,
-                 e3=150, lr_step3=130, e4=280, lr_step4=250,
+                 e3=150, lr_step3=130, e4=150, lr_step4=150,
                  target_map=0.30),
     "smoke": dict(n_train=12, n_val=6, input=(64, 128), batch=4,
                   e1=2, e2=4, lr_step=3, defreeze=0, warm=1,
