@@ -36,21 +36,21 @@ sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
 SCALES = {
     # n_train, n_val, input (h, w), batch, epochs_phase1, epochs_total,
     # lr_step, defreeze, warm
-    # e4 == e3 disables the second continuation: MEASURED on the v5e, a
-    # second full-LR (2.5e-4) restart at epoch 150 DESTABILIZES the
-    # converged model — train loss 13.4 -> 18.8 and held-out present-class
-    # mAP collapsed 0.303 -> 0.012 by epoch 199 (run killed, epoch-149
-    # checkpoint restored). The first restart (epoch 70) worked because the
-    # model was still far from its minimum; after convergence only a
-    # low-LR fine-tune continuation would be safe.
+    # phase 4 is a LOW-LR fine-tune (lr4): MEASURED on the v5e, a second
+    # full-LR (2.5e-4) restart at epoch 150 DESTABILIZES the converged
+    # model — train loss 13.4 -> 18.8 and held-out present-class mAP
+    # collapsed 0.303 -> 0.012 by epoch 199 (run killed, epoch-149
+    # checkpoint restored). The first restart (epoch 70) worked because
+    # the model was still far from its minimum; after convergence the
+    # continuation must keep the stepped-down LR.
     "full": dict(n_train=400, n_val=100, input=(128, 224), batch=16,
                  e1=30, e2=70, lr_step=55, defreeze=2, warm=2,
-                 e3=150, lr_step3=130, e4=150, lr_step4=150,
+                 e3=150, lr_step3=130, e4=185, lr4=2.5e-5,
                  target_map=0.30),
     "smoke": dict(n_train=12, n_val=6, input=(64, 128), batch=4,
                   e1=2, e2=4, lr_step=3, defreeze=0, warm=1,
                   e3=4, lr_step3=3,  # == e2: phase3/4 skipped at smoke scale
-                  e4=4, lr_step4=3,
+                  e4=4, lr4=2.5e-5,
                   target_map=-1.0),  # smoke asserts improvement only
 }
 
@@ -237,14 +237,15 @@ def main(argv=None):
         print(f"[campaign] phase3 done: {report['phase3']}")
         json.dump(report, open(report_path, "w"), indent=1)
 
-    # ---- phase 4: second continuation block (same pattern; epoch-149
-    # vals still climbing — run the schedule out to e4)
+    # ---- phase 4: LOW-LR fine-tune continuation (see the SCALES note:
+    # a full-LR restart on the converged model is measured-destructive)
     if sc["e4"] > sc["e3"] and "phase3" in report and "phase4" not in report:
         cfg4, _ = build_cfg(args, sc, root, out_dir, epochs=sc["e4"],
                             resume=True)
         cfg4.defrost()
-        cfg4.TRAIN.LR_STEP = (sc["lr_step4"],)
-        cfg4.TRAIN.VAL_INTERVALS = 40
+        cfg4.TRAIN.LR = sc["lr4"]
+        cfg4.TRAIN.LR_STEP = (10 * sc["e4"],)  # no further steps
+        cfg4.TRAIN.VAL_INTERVALS = sc["e4"] - sc["e3"]
         cfg4.freeze()
         model = build_model(cfg4)
         dataset_train = ds_cls(cfg4, "mini_train")
