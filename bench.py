@@ -462,6 +462,48 @@ def main():
     except Exception:
         pass
 
+    # batch serving via the shipped lax.map sub-batch split
+    # (TEST.DEVICE_BATCH_MAP; PARITY "Batch cliff attacked"): bs24 as ONE
+    # program of 4x bs6 iterations, same pipelined-fetch methodology as
+    # the primary metric so the numbers compare directly
+    batch_map_fps_bs24 = None
+    try:
+        B24 = 4 * BATCH
+
+        def _tile(x):
+            return jnp.concatenate([x] * 4, axis=0)
+
+        image24, pc24, calib24 = _tile(image), _tile(pc_dep), _tile(calib)
+
+        @jax.jit
+        def infer24(variables, image, pc_dep, calib):
+            def one(args):
+                im, pc, cal = args
+                outputs = model.apply(variables, im, None, pc, cal,
+                                      train=False)
+                return fusion_decode(
+                    outputs, cfg.MODEL.OUTPUT_SIZE, k=cfg.MODEL.K,
+                    approx_topk=bool(cfg.MODEL.get("APPROX_TOPK", False)),
+                )["scores"]
+            split = lambda x: x.reshape((4, BATCH) + x.shape[1:])
+            s = jax.lax.map(one, (split(image), split(pc_dep), split(calib)))
+            return s.reshape((B24,) + s.shape[2:])
+
+        for _ in range(WARMUP):
+            np.asarray(infer24(variables, image24, pc24, calib24))
+        t0 = time.perf_counter()
+        inflight = []
+        for _ in range(ITERS):
+            inflight.append(infer24(variables, image24, pc24, calib24))
+            if len(inflight) > 2:
+                np.asarray(inflight.pop(0))
+        for r in inflight:
+            np.asarray(r)
+        batch_map_fps_bs24 = round(
+            B24 * ITERS / (time.perf_counter() - t0), 2)
+    except Exception:
+        pass
+
     # flip-TTA serving cost (BASELINE configs[3] names flip test a
     # first-class config; VERDICT r4 next #7): same process, same batch
     flip_tta_fps = None
@@ -513,6 +555,7 @@ def main():
                 "gflops_per_frame": gflops_per_frame,
                 "tflops_per_sec": tflops_per_sec,
                 "mfu_vs_bf16_peak": mfu,
+                "batch_map_fps_bs24": batch_map_fps_bs24,
                 "flip_tta_fps": flip_tta_fps,
                 "train": train,
                 "eval_fps_e2e_pipeline": e2e_fps,
