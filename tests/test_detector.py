@@ -366,3 +366,32 @@ def test_batch_map_split_matches_monolithic(detector, rng):
         c = sorted(it["score"] for it in monolithic["results"][i])
         np.testing.assert_allclose(a, b, rtol=1e-5, atol=1e-6)
         np.testing.assert_allclose(a, c, rtol=1e-4, atol=1e-5)
+
+
+def test_batch_map_split_with_radar_tuple(detector, rng):
+    """The mapped sub-batch program must also thread the DEVICE_RASTERIZE
+    (pc_boxes, pc_values) TUPLE through lax.map xs — non-empty radar so the
+    painted rows actually flow."""
+    imgs = [(rng.rand(240, 320, 3) * 255).astype(np.uint8) for _ in range(4)]
+    radar = np.zeros((18, 12), np.float32)
+    radar[0] = rng.randn(12) * 8
+    radar[1] = rng.rand(12) * 2 - 1
+    radar[2] = rng.rand(12) * 40 + 3
+    radars = [radar] * 4
+
+    def run_with(max_db, use_map):
+        cfg = detector.config.clone()
+        cfg.defrost()
+        cfg.TEST.MAX_DEVICE_BATCH = max_db
+        cfg.TEST.DEVICE_BATCH_MAP = use_map
+        cfg.TEST.DEVICE_RASTERIZE = True
+        cfg.freeze()
+        det = Detector(cfg, variables=detector.variables, batch_size=4)
+        return det.run(imgs, radar_pcs=radars)
+
+    mapped = run_with(2, True)
+    sequential = run_with(2, False)
+    for i in range(4):
+        a = sorted(it["score"] for it in mapped["results"][i])
+        b = sorted(it["score"] for it in sequential["results"][i])
+        np.testing.assert_allclose(a, b, rtol=1e-5, atol=1e-6)
