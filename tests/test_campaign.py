@@ -29,8 +29,12 @@ def _load_campaign():
 def test_campaign_smoke_mechanics(tmp_path):
     camp = _load_campaign()
     out = str(tmp_path / "campaign")
+    # Conv nodes: the smoke tier pins the MECHANICS (phases, resume epoch,
+    # report, val summaries), not the DCN compute — the flagship
+    # DeformConv composition is what the full TPU campaign runs, and DCN's
+    # CPU train-step compile alone costs minutes per phase here
     rc = camp.main(["--out", out, "--scale", "smoke", "--platform", "cpu",
-                    "--fresh"])
+                    "--fresh", "MODEL.DLA.NODE", "Conv"])
     report = json.load(open(os.path.join(out, "campaign_report.json")))
     assert rc == 0, report
     assert report["passed"] is True
